@@ -1,0 +1,85 @@
+"""Global configuration for rs_sfm_tpu.
+
+The reference hard-codes its configuration in `const` blocks at the top of each
+driver (reference src/main.cc:164-176, 302-311) and tolerances inside the
+engine (src/minimal.cc:39-40, src/errorMeasure.cpp:44-45). Here configuration
+is explicit data: a single dataclass threaded through the pipeline.
+
+Dtype policy (TPU-first):
+  * Dense per-pixel arrays (images, flow, depth, residuals) are float32 —
+    plenty for pixel-level quantities and fast on the VPU/MXU.
+  * The tiny-core linear algebra (9x9 null space, 3x3 eigendecomposition,
+    6x6 char-polynomial for k, 7x7 reduced Schur system) runs in float64 when
+    x64 is enabled, else float32.  These matrices are microscopic, so the
+    emulated-f64 cost on TPU is irrelevant, and the conditioning of the
+    minimal solver benefits (reference uses double throughout).
+
+Call `enable_x64()` before creating any JAX arrays to opt in (the CLI and the
+test-suite do this).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def enable_x64() -> None:
+    """Enable float64 support (call before any JAX arrays are created)."""
+    jax.config.update("jax_enable_x64", True)
+
+
+def core_dtype():
+    """Dtype for tiny-core linear algebra (minimal solver, reduced systems)."""
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+def dense_dtype():
+    """Dtype for dense per-pixel arrays."""
+    return jnp.float32
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """End-to-end pipeline configuration.
+
+    Mirrors the reference's driver constants:
+      * ransac_trials      — reference `ransac_trials` (src/main.cc:304); the
+                             reference default is 5 *sequential* trials, here
+                             trials are a batched axis so hundreds are cheap.
+      * ransac_tol         — inlier tolerance on normalized flow residual
+                             (src/main.cc:310 uses 0.05; report sweeps 0.01).
+      * flow_threshold     — squared-pixel-flow cutoff below which a pixel is
+                             ignored (src/errorMeasure.cpp:44: 1e-10).
+      * use_acceleration   — constant-acceleration model: estimate k
+                             (src/main.cc:306 `use_acceleration_mode`).
+      * use_global_shutter — GS baseline: alpha ≡ 1, k disabled
+                             (src/errorMeasure.cpp:106-111).
+      * use_refinement     — run the joint nonlinear refinement
+                             (src/main.cc:307).
+    """
+
+    ransac_trials: int = 256
+    ransac_tol: float = 0.05
+    flow_threshold: float = 1e-10
+    use_acceleration: bool = False
+    use_global_shutter: bool = False
+    use_refinement: bool = True
+    refine_iterations: int = 50
+    # Maximum hypotheses scored at once (memory control: trials are processed
+    # in chunks of this size; each chunk materializes a (chunk, N) residual).
+    ransac_chunk: int = 64
+    # Fix of the reference's f_x-for-y projection bug (src/rsframe.cc:639).
+    # True  -> use f_y for the y coordinate (correct pinhole model).
+    # False -> replicate reference behavior bit-for-bit.
+    use_fy_in_projection: bool = True
+    # Reference relocatePose() skips scanline 0 when rebasing ground-truth
+    # poses (loop starts at i=1, src/rsframe.cc:960).  False = rebase all rows
+    # (the correct behavior); True = replicate the reference quirk.
+    relocate_skip_first_row: bool = False
+
+
+DEFAULT_CONFIG = PipelineConfig()

@@ -1,0 +1,198 @@
+"""Vectorized RANSAC over the 9-point minimal solver.
+
+The reference runs a handful of *sequential* trials, each reseeding the C
+PRNG with `srand(time(NULL))` (src/minimal.cc:230-244 — so all trials within
+one wall-clock second draw identical samples) and each paying a full Ceres
+depth solve over all pixels (src/minimal.cc:254).  Here:
+
+  * hypotheses are a batch axis: hundreds/thousands of 9-point solves run as
+    one fused pass through the batched minimal solver;
+  * sampling uses principled jax.random keys (inverse-CDF over the validity
+    mask: exact uniform over valid pixels, collision probability ~9²/2V);
+  * the per-hypothesis all-pixel depth solve is the closed-form expression
+    (solver.depth), so scoring is one elementwise sweep of shape (T, N),
+    processed in chunks to bound memory;
+  * best-hypothesis selection reproduces the reference's lexicographic rule
+    (#inliers desc, then inlier error asc — src/minimal.cc:278) via a
+    composite score.
+
+Shapes are fixed: all N pixels stay in place with masks, never compacted
+(the reference's compacted-vs-padded discrepancy between errorMeasure and
+main is resolved in favor of explicit masking).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from rs_sfm_tpu.solver.beta import beta_factor
+from rs_sfm_tpu.solver.depth import estimate_inverse_depth
+from rs_sfm_tpu.solver.flow_model import predict_flow
+from rs_sfm_tpu.solver.minimal import (calculate_velocities,
+                                       calculate_velocities_all_k)
+
+
+class RansacResult(NamedTuple):
+    """Best-hypothesis output (the reference's RansacValues, src/minimal.h:57-76,
+    with masks instead of compacted inlier arrays)."""
+
+    v: jax.Array            # (3,) linear velocity (unit-scale ambiguous)
+    w: jax.Array            # (3,) angular velocity
+    k: jax.Array            # () acceleration factor
+    inv_depth: jax.Array    # (N,) closed-form ρ for every pixel
+    inlier_mask: jax.Array  # (N,) bool — residual < tol and pixel valid
+    num_inliers: jax.Array  # () int32
+    inlier_error: jax.Array  # () summed residual over inliers
+
+
+def sample_valid_indices(key, valid_mask, trials: int, count: int = 9):
+    """(trials, count) indices drawn uniformly from the valid pixels.
+
+    Exact inverse-CDF sampling over the mask; draws are independent, so a
+    within-trial collision has probability ~count²/(2·V) (V = #valid) — a
+    collision merely yields a rank-deficient hypothesis that loses scoring.
+    """
+    counts = jnp.cumsum(valid_mask.astype(jnp.int32))
+    total = counts[-1]
+    u = jax.random.uniform(key, (trials, count))
+    targets = 1 + jnp.floor(u * total).astype(jnp.int32)
+    targets = jnp.minimum(targets, total)
+    return jnp.searchsorted(counts, targets, side="left")
+
+
+def _score_hypotheses(coords, flow, alpha, alpha_k, valid_mask, v, w, k, tol):
+    """Score a chunk of hypotheses against all pixels.
+
+    Args:
+      coords/flow: (N, 2); alpha/alpha_k/valid_mask: (N,).
+      v, w: (C, 3); k: (C,).
+
+    Returns:
+      (num_inliers (C,), inlier_error (C,), inv_depth (C, N),
+       inlier (C, N) bool).
+    """
+    dt = coords.dtype
+    vc = v.astype(dt)[:, None, :]
+    wc = w.astype(dt)[:, None, :]
+    kc = k.astype(dt)[:, None]
+    rho = estimate_inverse_depth(
+        coords[None], flow[None], vc, wc, kc, alpha[None], alpha_k[None]
+    )  # (C, N)
+    u_est = predict_flow(coords[None], rho, vc, wc, kc, alpha[None], alpha_k[None])
+    err = jnp.linalg.norm(u_est - flow[None], axis=-1)  # (C, N)
+    inlier = (err < tol) & valid_mask[None] & jnp.isfinite(err)
+    num = jnp.sum(inlier, axis=-1).astype(jnp.int32)
+    ierr = jnp.sum(jnp.where(inlier, err, 0.0), axis=-1)
+    return num, ierr, rho, inlier
+
+
+def ransac(
+    coords,
+    flow,
+    alpha,
+    alpha_k,
+    valid_mask,
+    *,
+    key,
+    use_k: bool,
+    trials: int,
+    tolerance: float,
+    chunk: int = 64,
+    k_mode: str = "score",
+    compat_negate_k: bool = False,
+) -> RansacResult:
+    """Batched RANSAC (reference minimal::ransac, src/minimal.cc:209-306).
+
+    Args:
+      coords: (N, 2) normalized coordinates (all pixels, masked).
+      flow:   (N, 2) normalized γ-scaled flow.
+      alpha, alpha_k: (N,) RS factors (pixel-unit inputs already folded in).
+      valid_mask: (N,) bool — pixels with |flow|² above threshold.
+      key: PRNG key.
+      use_k: constant-acceleration model (estimate k per hypothesis).
+      trials: number of hypotheses (the reference default is 5; hundreds are
+        essentially free here).
+      tolerance: inlier threshold on the normalized residual norm.
+      chunk: hypotheses scored per pass (memory: chunk × N residual grid).
+      k_mode: with use_k, how to choose among the up-to-6 real roots of
+        det(Z(k)) per sample: "min" reproduces the reference's smallest-|k|
+        heuristic (src/minimal.cc:74-80); "score" (default) expands every
+        real root into its own scored hypothesis — strictly stronger, since
+        on a minimal sample every root interpolates the 9 constraints and
+        only full-set scoring identifies the physical one.
+
+    Returns:
+      RansacResult for the lexicographically best hypothesis.
+    """
+    n = coords.shape[0]
+    solver_dt = jnp.float64 if jax.config.jax_enable_x64 else coords.dtype
+
+    idx = sample_valid_indices(key, valid_mask, trials)
+    q = coords[idx].astype(solver_dt)       # (T, 9, 2)
+    u = flow[idx].astype(solver_dt)
+    a9 = alpha[idx].astype(solver_dt)       # (T, 9)
+    ak9 = alpha_k[idx].astype(solver_dt)
+    if use_k and k_mode == "score":
+        w_all, v_all, k_all, valid_h = calculate_velocities_all_k(q, u, a9, ak9)
+        w_all = w_all.reshape(-1, 3)
+        v_all = v_all.reshape(-1, 3)
+        k_all = k_all.reshape(-1)
+        valid_h = valid_h.reshape(-1)
+        # Disable invalid root slots: zero motion scores zero inliers on any
+        # real data, and the composite score demotes it via +inf error.
+        zero3 = jnp.zeros_like(w_all)
+        w_all = jnp.where(valid_h[:, None], w_all, zero3)
+        v_all = jnp.where(valid_h[:, None], v_all, zero3)
+        trials_eff = trials * 6
+    else:
+        w_all, v_all, k_all = calculate_velocities(
+            q, u, a9, ak9, use_k, compat_negate_k=compat_negate_k)
+        valid_h = jnp.ones((trials,), dtype=bool)
+        trials_eff = trials
+    trials = trials_eff
+
+    pad = (-trials) % chunk
+    if pad:
+        w_all = jnp.concatenate([w_all, jnp.zeros((pad, 3), w_all.dtype)])
+        v_all = jnp.concatenate([v_all, jnp.zeros((pad, 3), v_all.dtype)])
+        k_all = jnp.concatenate([k_all, jnp.zeros((pad,), k_all.dtype)])
+    w_ch = w_all.reshape(-1, chunk, 3)
+    v_ch = v_all.reshape(-1, chunk, 3)
+    k_ch = k_all.reshape(-1, chunk)
+
+    def score_chunk(carry, vwk):
+        v_c, w_c, k_c = vwk
+        num, ierr, _, _ = _score_hypotheses(
+            coords, flow, alpha, alpha_k, valid_mask, v_c, w_c, k_c, tolerance)
+        return carry, (num, ierr)
+
+    _, (nums, ierrs) = jax.lax.scan(
+        score_chunk, None, (v_ch, w_ch, k_ch))
+    nums = nums.reshape(-1)[:trials]
+    ierrs = ierrs.reshape(-1)[:trials]
+    nums = jnp.where(valid_h, nums, -1)
+
+    # Lexicographic (num desc, err asc) via composite score; error sums are
+    # bounded by N·tol so the integer part dominates.  Ties keep the earliest
+    # trial, like the reference's strict comparisons (src/minimal.cc:278).
+    big = jnp.asarray(n * tolerance + 1.0, ierrs.dtype)
+    score = nums.astype(ierrs.dtype) * big - jnp.where(
+        jnp.isfinite(ierrs), ierrs, big)
+    best = jnp.argmax(score)
+
+    v_b, w_b, k_b = v_all[best], w_all[best], k_all[best]
+    num_b, ierr_b, rho_b, inlier_b = _score_hypotheses(
+        coords, flow, alpha, alpha_k, valid_mask,
+        v_b[None], w_b[None], k_b[None], tolerance)
+    return RansacResult(
+        v=v_b,
+        w=w_b,
+        k=k_b,
+        inv_depth=rho_b[0],
+        inlier_mask=inlier_b[0],
+        num_inliers=num_b[0],
+        inlier_error=ierr_b[0],
+    )

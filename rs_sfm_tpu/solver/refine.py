@@ -1,0 +1,199 @@
+"""Joint nonlinear refinement of (v, w, k, inverse depths) by
+Schur-reduced Levenberg–Marquardt.
+
+The reference hands this to Ceres with DENSE_SCHUR
+(src/nonlinearRefinement.cc:183-252): 2N residuals over parameters
+{v(3), w(3), k(1), ρ_1..ρ_N}, depths initialized from RANSAC, plain L2 loss.
+Here the same objective
+
+    min Σ_i m_i · ‖u_i − β_i(k)·(A_i v ρ_i + B_i w)‖²
+
+is minimized with a hand-rolled LM whose linear solve exploits the problem's
+arrow structure analytically (the "distributed Schur" component of the
+design, SURVEY.md §2.3):
+
+  * Per-pixel 2x8 Jacobians are closed form (no autodiff tape needed).
+  * The per-pixel depth blocks are scalars, so the Schur complement of the
+    depth block is a 7x7 system assembled from pixel-wise reductions:
+        H̃  = Σ JθᵀJθ − Σ (JθᵀJρ)(JρᵀJρ)⁻¹(JρᵀJθ)
+    Every Σ is a masked sum over pixels — exactly a `psum` when pixels are
+    sharded across chips (pass axis_name inside shard_map).
+  * δρ_i back-substitutes per pixel.
+
+All control flow is a fixed-iteration lax.fori_loop with accept/reject LM
+damping, so the whole refinement jits into one XLA computation.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from rs_sfm_tpu.ops import linalg
+from rs_sfm_tpu.solver.beta import beta_factor, beta_factor_dk
+from rs_sfm_tpu.solver.flow_model import rotational_flow, translational_flow
+
+
+class RefineResult(NamedTuple):
+    v: jax.Array          # (3,)
+    w: jax.Array          # (3,)
+    k: jax.Array          # ()
+    inv_depth: jax.Array  # (N,) refined ρ (unchanged where mask is False)
+    cost: jax.Array       # () final masked SSE
+    initial_cost: jax.Array
+
+
+def _psum(x, axis_name: Optional[str]):
+    return jax.lax.psum(x, axis_name) if axis_name is not None else x
+
+
+def _residual_and_jac(coords, flow, alpha, alpha_k, v, w, k, rho):
+    """Residual r (N,2) and Jacobian blocks for the masked LS problem.
+
+    Returns (r, j_theta (N,2,7), j_rho (N,2)).
+    Parameter order θ = [v(3), w(3), k].
+    """
+    x, y = coords[..., 0], coords[..., 1]
+    beta = beta_factor(alpha, alpha_k, k)
+    dbeta = beta_factor_dk(alpha, alpha_k, k)
+    av = translational_flow(coords, v)   # (N, 2)
+    bw = rotational_flow(coords, w)      # (N, 2)
+    e = av * rho[..., None] + bw
+    r = flow - beta[..., None] * e
+
+    one = jnp.ones_like(x)
+    zero = jnp.zeros_like(x)
+    # ∂r/∂v = −β·ρ·A ;  A = [[1,0,−x],[0,1,−y]]
+    brho = beta * rho
+    jv = jnp.stack(
+        [
+            jnp.stack([-brho, zero, brho * x], axis=-1),
+            jnp.stack([zero, -brho, brho * y], axis=-1),
+        ],
+        axis=-2,
+    )
+    # ∂r/∂w = −β·B ;  B = [[−xy, 1+x², −y], [−(1+y²), xy, x]]
+    jw = jnp.stack(
+        [
+            jnp.stack([beta * x * y, -beta * (1.0 + x * x), beta * y], axis=-1),
+            jnp.stack([beta * (1.0 + y * y), -beta * x * y, -beta * x], axis=-1),
+        ],
+        axis=-2,
+    )
+    # ∂r/∂k = −(dβ/dk)·e
+    jk = -dbeta[..., None] * e  # (N, 2)
+    j_theta = jnp.concatenate([jv, jw, jk[..., None]], axis=-1)  # (N, 2, 7)
+    # ∂r/∂ρ = −β·A·v
+    j_rho = -beta[..., None] * av  # (N, 2)
+    return r, j_theta, j_rho
+
+
+def refine(
+    coords,
+    flow,
+    alpha,
+    alpha_k,
+    mask,
+    v0,
+    w0,
+    k0,
+    rho0,
+    *,
+    optimize_k: bool,
+    iterations: int = 50,
+    init_lambda: float = 1e-6,
+    axis_name: Optional[str] = None,
+) -> RefineResult:
+    """Schur-reduced LM refinement (reference nonLinearRefinement,
+    src/nonlinearRefinement.cc:183-252).
+
+    Args:
+      coords, flow: (N, 2) normalized coordinates / γ-scaled flow.
+      alpha, alpha_k: (N,) RS factors.
+      mask: (N,) bool — pixels participating (the RANSAC inlier set; the
+        reference builds its problem over inliers only).
+      v0, w0, k0, rho0: initialization (RANSAC output; rho0 = ρ per pixel).
+      optimize_k: include k as a free parameter (constant-acceleration mode;
+        src/nonlinearRefinement.cc:221-223 freezes k otherwise).
+      iterations: LM iterations (Ceres default max is 50).
+      axis_name: mesh axis for psum when pixels are sharded (shard_map).
+
+    Returns:
+      RefineResult.  Depths outside the mask pass through unchanged.
+    """
+    dt = coords.dtype
+    m = mask.astype(dt)
+
+    def cost_fn(v, w, k, rho):
+        beta = beta_factor(alpha, alpha_k, k)
+        e = translational_flow(coords, v) * rho[..., None] + rotational_flow(coords, w)
+        r = flow - beta[..., None] * e
+        return _psum(jnp.sum(m * jnp.sum(r * r, axis=-1)), axis_name)
+
+    k_keep = jnp.asarray(1.0 if optimize_k else 0.0, dt)
+
+    def step(_, state):
+        v, w, k, rho, lam, cost = state
+        r, j_theta, j_rho = _residual_and_jac(
+            coords, flow, alpha, alpha_k, v, w, k, rho)
+        # Freeze k by zeroing its Jacobian column (δk solves to 0 below).
+        j_theta = j_theta.at[..., 6].multiply(k_keep)
+
+        mw = m[..., None]
+        # Pixel-wise blocks.
+        h_tt = _psum(
+            jnp.einsum("nri,nrj->ij", j_theta * mw[..., None], j_theta), axis_name)
+        g_t = _psum(jnp.einsum("nri,nr->i", j_theta, r * mw), axis_name)
+        c_i = jnp.einsum("nri,nr->ni", j_theta, j_rho * mw)  # (N, 7)
+        d_i = jnp.sum(j_rho * j_rho, axis=-1) * m            # (N,)
+        g_rho = jnp.sum(j_rho * r, axis=-1) * m              # (N,)
+
+        # LM damping on the diagonals (multiplicative, Marquardt-style).
+        diag = jnp.diagonal(h_tt)
+        h_aug = h_tt + jnp.diag(lam * (diag + 1e-12))
+        # Keep the frozen-k row/column invertible.
+        h_aug = h_aug.at[6, 6].add(1.0 - k_keep)
+        d_aug = d_i * (1.0 + lam)
+        d_safe = jnp.where(d_aug > 0.0, d_aug, jnp.ones_like(d_aug))
+        informative = (d_aug > 0.0)
+
+        ci_over_d = jnp.where(informative[..., None], c_i / d_safe[..., None], 0.0)
+        h_red = h_aug - _psum(jnp.einsum("ni,nj->ij", ci_over_d, c_i), axis_name)
+        g_red = g_t - _psum(jnp.einsum("ni,n->i", ci_over_d, g_rho), axis_name)
+
+        # GN step: (JᵀJ)δ = −Jᵀr  (note r = observed − predicted, and
+        # j_theta = ∂r/∂θ, so the normal equations carry the minus here).
+        delta_theta = linalg.gauss_solve(h_red, -g_red)
+        delta_rho = jnp.where(
+            informative,
+            -(g_rho + c_i @ delta_theta) / d_safe,
+            0.0,
+        )
+
+        v_new = v + delta_theta[:3]
+        w_new = w + delta_theta[3:6]
+        k_new = k + delta_theta[6]
+        rho_new = rho + delta_rho * m
+
+        new_cost = cost_fn(v_new, w_new, k_new, rho_new)
+        accept = (new_cost < cost) & jnp.isfinite(new_cost)
+        v = jnp.where(accept, v_new, v)
+        w = jnp.where(accept, w_new, w)
+        k = jnp.where(accept, k_new, k)
+        rho = jnp.where(accept, rho_new, rho)
+        cost = jnp.where(accept, new_cost, cost)
+        lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-12), lam * 4.0)
+        return v, w, k, rho, lam, cost
+
+    v0 = jnp.asarray(v0, dt)
+    w0 = jnp.asarray(w0, dt)
+    k0 = jnp.asarray(k0, dt)
+    rho0 = jnp.asarray(rho0, dt)
+    lam0 = jnp.asarray(init_lambda, dt)
+    cost0 = cost_fn(v0, w0, k0, rho0)
+    v, w, k, rho, _, cost = jax.lax.fori_loop(
+        0, iterations, step, (v0, w0, k0, rho0, lam0, cost0))
+    return RefineResult(v=v, w=w, k=k, inv_depth=rho, cost=cost,
+                        initial_cost=cost0)
