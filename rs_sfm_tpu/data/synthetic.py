@@ -1,0 +1,260 @@
+"""Procedural JAX synthetic rolling-shutter renderer.
+
+TPU-native replacement for the reference's MATLAB generator
+(matlab_synthetic_data/: castle.m → start_generating.m → take_sequence.m),
+which renders a textured mesh once per scanline and keeps only row i.  Here
+the scene is a set of textured rectangles with closed-form ray intersection,
+so *every pixel of every scanline renders under its own pose in one batched
+pass* — no scanline loop, no external renderer, fully jittable.
+
+Conventions (matching the reference dataset contract):
+  * Poses are world→camera: X_cam = R X_world + t (src/rsframe.cc:687-708).
+  * The camera trajectory follows the constant-acceleration motion model:
+    scanline i of frame 1 is at normalized time τ = γ·i/H, of frame 2 at
+    τ = 1 + γ·i/H, with pose R = R₀(I + β(τ)·ŵ), t = t₀ + β(τ)·v and
+    β(τ) = (2/(2+k))(τ + ½kτ²) (calculate_camera_trajectory.m:17-26).
+    Divergences from the MATLAB generator, both deliberate:
+      - scanline i is at time γ·i/H exactly as the estimation model assumes
+        (the MATLAB script has an off-by-one: row i gets time γ·(i+1)/H
+        except row 0 — take_sequence.m:10-17 with trajectory row i+1);
+      - w is in radians everywhere (MATLAB stores degrees in w.csv and
+        converts internally — calculate_camera_trajectory.m:6).
+  * Void (sky) pixels get color RGB(1,1,1)/255 — the mask value the
+    reference's backProject skips (src/rsframe.cc:815) — zero depth and
+    zero unprojection coordinates.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from rs_sfm_tpu.geom import so3
+from rs_sfm_tpu.geom.camera import Intrinsics
+from rs_sfm_tpu.geom.rspose import beta1, beta2
+from rs_sfm_tpu.ops import linalg
+
+
+class Scene(NamedTuple):
+    """Textured rectangles: X(a, b) = origin + a·edge1 + b·edge2, a,b ∈ [0,1]."""
+
+    origins: jax.Array  # (P, 3)
+    edge1: jax.Array    # (P, 3)
+    edge2: jax.Array    # (P, 3)
+    base_color: jax.Array  # (P, 3) in [0, 1]
+
+
+class SyntheticFrame(NamedTuple):
+    rs_image: jax.Array     # (H, W, 3) float32 in [0, 1]
+    gs_image: jax.Array     # (H, W, 3) rendered at this frame's scanline-0 pose
+    rs_depth: jax.Array     # (H, W) camera z of each RS pixel (0 = void)
+    gs_depth: jax.Array     # (H, W)
+    rs_unproject: jax.Array  # (H, W, 3) world coords (0 = void)
+    gs_unproject: jax.Array  # (H, W, 3)
+    poses_r: jax.Array      # (H, 3, 3) world→camera per scanline (GT)
+    poses_t: jax.Array      # (H, 3)
+
+
+class SyntheticPair(NamedTuple):
+    frame1: SyntheticFrame
+    frame2: SyntheticFrame
+    intrinsics: Intrinsics
+    gamma: float
+    k: float
+    v: jax.Array  # (3,) world units per frame interval
+    w: jax.Array  # (3,) radians per frame interval
+
+
+def castle_scene(dtype=jnp.float32) -> Scene:
+    """Default scene: a castle-like arrangement of facades, ground and tower.
+
+    World frame = frame-1 scanline-0 camera frame (x right, y down, z
+    forward); mean depth ≈ 6, like the reference's landesmuseum renders.
+    """
+
+    def rect(p0, e1, e2, color):
+        return p0, e1, e2, color
+
+    rects = [
+        # ground plane (y = +2, below the camera, stretching away)
+        rect([-8.0, 2.0, 0.5], [16.0, 0.0, 0.0], [0.0, 0.0, 14.0],
+             [0.45, 0.40, 0.30]),
+        # back wall
+        rect([-8.0, -5.0, 11.0], [16.0, 0.0, 0.0], [0.0, 7.0, 0.0],
+             [0.55, 0.50, 0.45]),
+        # left building face
+        rect([-4.5, -3.0, 6.0], [3.2, 0.0, 0.0], [0.0, 5.0, 0.0],
+             [0.60, 0.45, 0.35]),
+        # right building face
+        rect([0.8, -2.0, 7.5], [3.5, 0.0, 0.0], [0.0, 4.0, 0.0],
+             [0.40, 0.50, 0.60]),
+        # central tower
+        rect([-0.7, -2.5, 4.5], [1.1, 0.0, 0.0], [0.0, 4.5, 0.0],
+             [0.55, 0.55, 0.40]),
+        # slanted roof piece connecting tower to right building
+        rect([0.4, -2.2, 4.8], [1.6, -0.4, 1.6], [0.0, 1.2, 0.4],
+             [0.62, 0.38, 0.30]),
+    ]
+    return Scene(
+        origins=jnp.asarray([r[0] for r in rects], dtype=dtype),
+        edge1=jnp.asarray([r[1] for r in rects], dtype=dtype),
+        edge2=jnp.asarray([r[2] for r in rects], dtype=dtype),
+        base_color=jnp.asarray([r[3] for r in rects], dtype=dtype),
+    )
+
+
+def _texture(prim_id, a, b, base_color):
+    """Procedural texture: multi-scale stripes + soft checker per primitive.
+
+    Smooth but feature-rich (for dense flow estimators), bounded away from
+    both black and the RGB(1,1,1)/255 void sentinel.
+    """
+    phase = prim_id.astype(a.dtype)
+    f1 = jnp.sin(2.0 * jnp.pi * (7.0 + 2.0 * phase) * a + phase * 1.7)
+    f2 = jnp.sin(2.0 * jnp.pi * (9.0 + 3.0 * phase) * b + phase * 0.9)
+    f3 = jnp.sin(2.0 * jnp.pi * 23.0 * (a + b) + phase)
+    checker = jnp.sin(2.0 * jnp.pi * 3.0 * a) * jnp.sin(2.0 * jnp.pi * 3.0 * b)
+    mod = 0.22 * f1 + 0.22 * f2 + 0.12 * f3 + 0.18 * checker
+    col = base_color * (0.75 + mod[..., None] * jnp.asarray(
+        [1.0, 0.85, 0.7], dtype=a.dtype))
+    return jnp.clip(col, 0.02, 0.98)
+
+
+def _intersect(scene: Scene, origin, direction):
+    """Nearest-hit ray casting against all rectangles.
+
+    Args:
+      origin: (..., 3) ray origins (world).
+      direction: (..., 3) ray directions (world; scaled so that the camera
+        z equals the ray parameter t — i.e. d = Rᵀ·d_cam with d_cam.z = 1).
+
+    Returns:
+      (depth (...,), world_point (..., 3), color (..., 3), hit (...,)).
+    """
+    dtype = origin.dtype
+    best_t = jnp.full(origin.shape[:-1], jnp.inf, dtype=dtype)
+    best_color = jnp.ones(origin.shape[:-1] + (3,), dtype=dtype) / 255.0
+    num_prims = scene.origins.shape[0]
+    for p in range(num_prims):
+        p0 = scene.origins[p]
+        e1 = scene.edge1[p]
+        e2 = scene.edge2[p]
+        n = jnp.cross(e1, e2)
+        denom = jnp.einsum("...i,i->...", direction, n)
+        safe = jnp.where(jnp.abs(denom) < 1e-12, jnp.ones_like(denom), denom)
+        t = jnp.einsum("...i,i->...", p0 - origin, n) / safe
+        hit_pt = origin + t[..., None] * direction
+        rel = hit_pt - p0
+        a = jnp.einsum("...i,i->...", rel, e1) / jnp.dot(e1, e1)
+        b = jnp.einsum("...i,i->...", rel, e2) / jnp.dot(e2, e2)
+        ok = ((jnp.abs(denom) >= 1e-12) & (t > 1e-3)
+              & (a >= 0.0) & (a <= 1.0) & (b >= 0.0) & (b <= 1.0))
+        closer = ok & (t < best_t)
+        color = _texture(jnp.asarray(p), a, b, scene.base_color[p])
+        best_color = jnp.where(closer[..., None], color, best_color)
+        best_t = jnp.where(closer, t, best_t)
+    hit = jnp.isfinite(best_t)
+    depth = jnp.where(hit, best_t, jnp.zeros_like(best_t))
+    world = jnp.where(hit[..., None], origin + best_t[..., None] * direction,
+                      jnp.zeros_like(origin))
+    return depth, world, best_color, hit
+
+
+def _row_poses(r0, t0, v, w, betas):
+    """Poses R = R₀(I + β·ŵ), t = t₀ + β·v for a vector of β values."""
+    n = betas.shape[0]
+    w_b = jnp.broadcast_to(w, (n, 3))
+    r = jnp.einsum("ij,njk->nik", r0, so3.exp_first_order(w_b, scale=betas))
+    t = t0[None, :] + betas[:, None] * v[None, :]
+    return r, t
+
+
+def _render(scene, intr: Intrinsics, rows, cols, r_rows, t_rows, dtype):
+    """Render an image where row y uses pose (r_rows[y], t_rows[y]).
+
+    Passing broadcasted single poses renders a global-shutter image.
+    """
+    ys, xs = jnp.meshgrid(jnp.arange(rows, dtype=dtype),
+                          jnp.arange(cols, dtype=dtype), indexing="ij")
+    d_cam = jnp.stack(
+        [(xs - intr.cx) / intr.fx, (ys - intr.cy) / intr.fy,
+         jnp.ones_like(xs)], axis=-1)  # (H, W, 3)
+    # Invert the affine map X_cam = R X + t *exactly* (R = I + βŵ is only
+    # first-order orthonormal, so Rᵀ would introduce O((βω)²) inconsistency
+    # between the unprojection maps and the world→camera contract):
+    # camera center o = −R⁻¹t, world direction d = R⁻¹ d_cam (d_cam.z = 1 ⇒
+    # the ray parameter equals camera depth).
+    r_inv = linalg.gauss_inv(r_rows)  # (H, 3, 3)
+    o = -jnp.einsum("hij,hj->hi", r_inv, t_rows)  # (H, 3)
+    d_world = jnp.einsum("hij,hwj->hwi", r_inv, d_cam)  # (H, W, 3)
+    origin = jnp.broadcast_to(o[:, None, :], d_world.shape)
+    depth, world, color, hit = _intersect(scene, origin, d_world)
+    return color, depth, world
+
+
+def render_pair(
+    scene: Scene,
+    intr: Intrinsics,
+    rows: int,
+    cols: int,
+    *,
+    gamma: float,
+    k: float,
+    v,
+    w,
+    r0=None,
+    t0=None,
+    dtype=jnp.float32,
+) -> SyntheticPair:
+    """Render a two-frame RS pair with complete ground truth.
+
+    Args:
+      scene: the world geometry.
+      intr: pinhole intrinsics.
+      rows, cols: image size (rows = number of scanlines H).
+      gamma: readout ratio T_a/(T_a+T_b).
+      k: acceleration factor of the motion model.
+      v: (3,) linear velocity, world units per frame interval.
+      w: (3,) angular velocity, radians per frame interval.
+      r0, t0: optional initial world→camera pose (default identity/zero, i.e.
+        the world frame IS frame-1 scanline 0's camera frame).
+
+    Returns:
+      SyntheticPair with RS/GS images, GT depth, unprojection maps, and
+      per-scanline GT poses for both frames.
+    """
+    v = jnp.asarray(v, dtype=dtype)
+    w = jnp.asarray(w, dtype=dtype)
+    r0 = jnp.eye(3, dtype=dtype) if r0 is None else jnp.asarray(r0, dtype)
+    t0 = jnp.zeros(3, dtype=dtype) if t0 is None else jnp.asarray(t0, dtype)
+
+    idx = jnp.arange(rows, dtype=dtype)
+    frames = []
+    for beta_fn in (beta1, beta2):
+        betas = beta_fn(idx, rows, gamma, k)
+        r_rows, t_rows = _row_poses(r0, t0, v, w, betas)
+        rs_img, rs_depth, rs_unproj = _render(
+            scene, intr, rows, cols, r_rows, t_rows, dtype)
+        # GS image at this frame's scanline-0 pose.
+        r_gs = jnp.broadcast_to(r_rows[0], (rows, 3, 3))
+        t_gs = jnp.broadcast_to(t_rows[0], (rows, 3))
+        gs_img, gs_depth, gs_unproj = _render(
+            scene, intr, rows, cols, r_gs, t_gs, dtype)
+        frames.append(SyntheticFrame(
+            rs_image=rs_img, gs_image=gs_img,
+            rs_depth=rs_depth, gs_depth=gs_depth,
+            rs_unproject=rs_unproj, gs_unproject=gs_unproj,
+            poses_r=r_rows, poses_t=t_rows))
+    return SyntheticPair(
+        frame1=frames[0], frame2=frames[1], intrinsics=intr,
+        gamma=gamma, k=k, v=v, w=w)
+
+
+def default_intrinsics(rows: int, cols: int) -> Intrinsics:
+    """Square-pixel intrinsics with ~53° horizontal FoV, centered."""
+    f = float(cols)
+    return Intrinsics(fx=f, fy=f, cx=cols / 2.0 - 0.5, cy=rows / 2.0 - 0.5)

@@ -73,13 +73,20 @@ def normalize_coords(pixels, intr: Intrinsics):
     return jnp.stack([x, y], axis=-1)
 
 
-def normalize_flow(flow_px, intr: Intrinsics, gamma):
-    """Pixel flow (..., 2) -> normalized flow premultiplied by gamma.
+def normalize_flow(flow_px, intr: Intrinsics, gamma=None):
+    """Pixel flow (..., 2) -> normalized image-plane flow.
 
-    Matches src/main.cc:424-425: u = (dx·γ/f_x, dy·γ/f_y).
+    The reference premultiplies by γ (src/main.cc:424-425: u = dx·γ/f),
+    which silently makes its estimated velocities γ-scaled (w_est = γ·w_true;
+    v is scale-ambiguous so it goes unnoticed) and degenerates at γ→0.  This
+    framework does NOT scale by γ: with the α/β factors already encoding the
+    per-scanline timing, un-scaled normalized flow yields (v, w) per frame
+    interval, matching the generator ground truth exactly.  Pass gamma to
+    reproduce the reference's unit convention.
     """
+    scale = 1.0 if gamma is None else gamma
     return jnp.stack(
-        [flow_px[..., 0] * gamma / intr.fx, flow_px[..., 1] * gamma / intr.fy],
+        [flow_px[..., 0] * scale / intr.fx, flow_px[..., 1] * scale / intr.fy],
         axis=-1,
     )
 

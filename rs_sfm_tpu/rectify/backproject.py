@@ -1,0 +1,113 @@
+"""Z-buffered back-projection scatter: RS image + depth + scanline poses →
+rectified GS image + 3D point cloud.
+
+Reference behavior (src/rsframe.cc:803-839): per pixel, unproject through the
+depth map under its scanline pose to world, reproject under the scanline-0
+pose, round, and write the RS color into the GS image — last-writer-wins in
+row-major scan order, a nondeterministic choice under any parallel order.
+Here conflicts resolve by *minimum depth* (front surface wins) via a
+two-pass scatter-min, which is deterministic under any sharding, then ties
+break by lowest source index.  Void pixels (RGB(1,1,1) mask — exact match on
+the uint8 value 1 — src/rsframe.cc:815) and zero-depth pixels are skipped.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from rs_sfm_tpu.geom.camera import (Intrinsics, pixel_grid, plane_to_space,
+                                    space_to_plane)
+from rs_sfm_tpu.geom.rspose import camera_to_world, world_to_camera
+
+
+class BackprojectResult(NamedTuple):
+    gs_image: jax.Array    # (H, W, 3) rectified global-shutter image
+    coords_3d: jax.Array   # (H, W, 3) world coords per *source* RS pixel
+    valid: jax.Array       # (H, W) bool — source pixels that back-projected
+    scattered: jax.Array   # (H, W) bool — target pixels that received a color
+
+
+def _is_void_color(image):
+    """The reference's mask: color exactly RGB(1,1,1) in uint8
+    (src/rsframe.cc:815).  Works for both uint8 and unit-float images."""
+    if jnp.issubdtype(image.dtype, jnp.floating):
+        return jnp.all(jnp.abs(image * 255.0 - 1.0) < 0.5, axis=-1)
+    return jnp.all(image == 1, axis=-1)
+
+
+def backproject(image, depth_map, poses_r, poses_t, intr: Intrinsics,
+                *, use_fy: bool = True, use_scanline_pose: bool = True
+                ) -> BackprojectResult:
+    """Rectify an RS image given per-pixel depth and per-scanline poses.
+
+    Args:
+      image: (H, W, 3) RS image (uint8 or float in [0,1]).
+      depth_map: (H, W) per-pixel depth (0 = unknown, skipped).
+      poses_r, poses_t: (H, 3, 3)/(H, 3) relative scanline poses
+        (world→camera; scanline 0 is the reprojection target).
+      intr: intrinsics.
+      use_fy: False reproduces the reference's f_x-for-y quirk.
+      use_scanline_pose: False gives the GS-assumption baseline
+        (backProjectGs, src/rsframe.cc:842-878): unproject under the
+        scanline-0 pose as well.
+
+    Returns:
+      BackprojectResult.
+    """
+    h, w_cols = depth_map.shape
+    dtype = depth_map.dtype
+    grid = pixel_grid(h, w_cols, dtype=dtype)
+
+    valid = (depth_map != 0.0) & ~_is_void_color(image)
+
+    cam = plane_to_space(grid, depth_map, intr)  # (H, W, 3)
+    if use_scanline_pose:
+        r_rows = poses_r[:, None, :, :]
+        t_rows = poses_t[:, None, :]
+    else:
+        r_rows = poses_r[0][None, None]
+        t_rows = poses_t[0][None, None]
+    world = camera_to_world(cam, r_rows, t_rows)  # (H, W, 3)
+    cam0 = world_to_camera(world, poses_r[0], poses_t[0])
+    pt = space_to_plane(cam0, intr, use_fy=use_fy)  # (H, W, 2)
+
+    # Rounding as in the reference: int(x + 0.5) (src/rsframe.cc:831).
+    px = jnp.floor(pt[..., 0] + 0.5).astype(jnp.int32)
+    py = jnp.floor(pt[..., 1] + 0.5).astype(jnp.int32)
+    in_bounds = (px >= 0) & (px < w_cols) & (py >= 0) & (py < h)
+    write = valid & in_bounds & jnp.isfinite(pt).all(axis=-1)
+
+    n = h * w_cols
+    flat_idx = jnp.where(write, py * w_cols + px, n).reshape(-1)  # n = drop slot
+    src_depth = jnp.where(write, cam0[..., 2], jnp.inf).reshape(-1)
+
+    # Pass 1: winning (minimum) target depth.
+    zbuf = jnp.full((n + 1,), jnp.inf, dtype=dtype)
+    zbuf = zbuf.at[flat_idx].min(src_depth)
+    # Pass 2: among depth winners, lowest source index wins (total order).
+    is_winner = src_depth == zbuf[flat_idx]
+    src_ids = jnp.arange(n, dtype=jnp.int32)
+    winner_id = jnp.full((n + 1,), n, dtype=jnp.int32)
+    winner_id = winner_id.at[flat_idx].min(
+        jnp.where(is_winner, src_ids, n))
+    final = (winner_id[flat_idx] == src_ids) & (flat_idx < n)
+
+    colors = image.reshape(n, 3)
+    if jnp.issubdtype(image.dtype, jnp.integer):
+        out_dtype = image.dtype
+    else:
+        out_dtype = image.dtype
+    gs_flat = jnp.zeros((n + 1, 3), dtype=out_dtype)
+    gs_flat = gs_flat.at[jnp.where(final, flat_idx, n)].set(colors)
+    gs_image = gs_flat[:n].reshape(h, w_cols, 3)
+
+    scattered_flat = jnp.zeros((n + 1,), dtype=bool)
+    scattered_flat = scattered_flat.at[jnp.where(final, flat_idx, n)].set(True)
+    scattered = scattered_flat[:n].reshape(h, w_cols)
+
+    coords_3d = jnp.where(valid[..., None], world, jnp.zeros_like(world))
+    return BackprojectResult(gs_image=gs_image, coords_3d=coords_3d,
+                             valid=valid, scattered=scattered)

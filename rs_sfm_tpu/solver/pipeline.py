@@ -1,0 +1,129 @@
+"""End-to-end motion/depth estimation from a dense flow field.
+
+The jittable equivalent of the reference's driver core
+(evaluateSingleRun's flatten→normalize→α→RANSAC→refine→sign-flip→depth-raster
+sequence, src/main.cc:398-509, and errorMeasure's variant,
+src/errorMeasure.cpp:66-226): one fixed-shape computation from a (H, W, 2)
+pixel-flow field to (v, w, k, inverse-depth map, masks).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from rs_sfm_tpu.config import PipelineConfig
+from rs_sfm_tpu.geom.camera import (Intrinsics, normalize_coords,
+                                    normalize_flow, pixel_grid)
+from rs_sfm_tpu.solver.beta import get_alpha, get_alpha_k
+from rs_sfm_tpu.solver.ransac import RansacResult, ransac
+from rs_sfm_tpu.solver.refine import refine
+
+
+class EstimationResult(NamedTuple):
+    v: jax.Array            # (3,)
+    w: jax.Array            # (3,)
+    k: jax.Array            # ()
+    depth_map: jax.Array    # (H, W) Z = 1/ρ at inlier pixels, 0 elsewhere
+    inlier_mask: jax.Array  # (H, W) bool
+    valid_mask: jax.Array   # (H, W) bool (|flow|² > threshold)
+    num_inliers: jax.Array  # () int32
+    ransac_v: jax.Array     # (3,) pre-refinement estimates
+    ransac_w: jax.Array
+    ransac_k: jax.Array
+    refine_cost: jax.Array  # () final refinement SSE (0 if refinement off)
+
+
+def prepare_flow_inputs(flow_px, intr: Intrinsics, gamma, cfg: PipelineConfig):
+    """Flatten + normalize the flow grid and compute RS factors.
+
+    Mirrors src/main.cc:398-434 — normalized coords (x−c)/f, α/α̃ on
+    pixel-unit values, validity = |flow_px|² > threshold — except that flow
+    is normalized WITHOUT the reference's γ premultiply (see
+    geom.camera.normalize_flow), so estimates come out per frame interval.
+
+    Returns:
+      (coords (N,2), flow_n (N,2), alpha (N,), alpha_k (N,), valid (N,)).
+    """
+    h, w_cols = flow_px.shape[:2]
+    dtype = flow_px.dtype
+    grid = pixel_grid(h, w_cols, dtype=dtype)
+    coords = normalize_coords(grid, intr).reshape(-1, 2)
+    flow_n = normalize_flow(flow_px, intr).reshape(-1, 2)
+    fpx = flow_px.reshape(-1, 2)
+    valid = jnp.sum(fpx * fpx, axis=-1) > cfg.flow_threshold
+    alpha = get_alpha(fpx[:, 1], h, gamma)
+    alpha_k = get_alpha_k(grid[..., 1].reshape(-1), fpx[:, 1], h, gamma)
+    if cfg.use_global_shutter:
+        # GS baseline: α ≡ 1 (src/errorMeasure.cpp:106-111).
+        alpha = jnp.ones_like(alpha)
+    return coords, flow_n, alpha, alpha_k, valid
+
+
+def estimate_from_flow(
+    flow_px,
+    intr: Intrinsics,
+    gamma,
+    cfg: PipelineConfig,
+    key,
+    *,
+    axis_name: Optional[str] = None,
+) -> EstimationResult:
+    """Full estimation: flow grid → (v, w, k) + inverse-depth map.
+
+    Args:
+      flow_px: (H, W, 2) dense pixel flow (true or estimated).
+      intr: intrinsics; gamma: readout ratio.
+      cfg: pipeline configuration.
+      key: PRNG key for RANSAC sampling.
+      axis_name: collective axis when pixels are sharded (shard_map).
+
+    Returns:
+      EstimationResult on the full (H, W) grid.
+    """
+    h, w_cols = flow_px.shape[:2]
+    use_k = cfg.use_acceleration and not cfg.use_global_shutter
+    coords, flow_n, alpha, alpha_k, valid = prepare_flow_inputs(
+        flow_px, intr, gamma, cfg)
+
+    rr: RansacResult = ransac(
+        coords, flow_n, alpha, alpha_k, valid,
+        key=key, use_k=use_k, trials=cfg.ransac_trials,
+        tolerance=cfg.ransac_tol, chunk=cfg.ransac_chunk)
+
+    if cfg.use_refinement:
+        ref = refine(
+            coords, flow_n, alpha, alpha_k, rr.inlier_mask,
+            rr.v, rr.w, rr.k, rr.inv_depth,
+            optimize_k=use_k, iterations=cfg.refine_iterations,
+            axis_name=axis_name)
+        v, w, k, rho = ref.v, ref.w, ref.k, ref.inv_depth
+        refine_cost = ref.cost
+    else:
+        v, w, k, rho = rr.v, rr.w, rr.k, rr.inv_depth
+        refine_cost = jnp.zeros((), coords.dtype)
+
+    # Sign disambiguation: flip v and depths if the mean inlier depth is
+    # negative (src/main.cc:466-478).  Depth is Z = 1/ρ on the inlier set.
+    safe_rho = jnp.where(rho == 0.0, jnp.ones_like(rho), rho)
+    z = jnp.where(rho == 0.0, jnp.zeros_like(rho), 1.0 / safe_rho)
+    m = rr.inlier_mask.astype(z.dtype)
+    denom = jnp.maximum(jnp.sum(m), 1.0)
+    z_mean = jnp.sum(z * m) / denom
+    flip = z_mean < 0.0
+    sign = jnp.where(flip, -1.0, 1.0).astype(z.dtype)
+    v = v * sign
+    z = z * sign
+
+    depth_map = jnp.where(rr.inlier_mask, z, jnp.zeros_like(z)).reshape(
+        h, w_cols)
+    return EstimationResult(
+        v=v, w=w, k=k,
+        depth_map=depth_map,
+        inlier_mask=rr.inlier_mask.reshape(h, w_cols),
+        valid_mask=valid.reshape(h, w_cols),
+        num_inliers=rr.num_inliers,
+        ransac_v=rr.v * sign, ransac_w=rr.w, ransac_k=rr.k,
+        refine_cost=refine_cost)
