@@ -1,0 +1,83 @@
+"""Benchmark: RS frame-pair estimation throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Protocol: full-HD (1920x1080) frame pair — the reference's real-world
+configuration (report.pdf §5.5) — running the complete estimation chain on
+device: flatten/normalize -> alpha/alpha_k -> 256-hypothesis RANSAC with
+all-pixel closed-form depth scoring -> 50-iteration Schur-LM refinement ->
+sign flip -> depth raster -> z-buffered rectification scatter.
+
+Baseline: the reference's laptop figures for the same stages at full-HD are
+~20 s/RANSAC-trial x 5 trials + ~30 s refinement = 130 s/pair (flow
+excluded on both sides; report.pdf §5.5 — "one RANSAC trial 20s",
+"final refinement 30s").  vs_baseline = our pairs/s / (1/130 pairs/s).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from rs_sfm_tpu.config import PipelineConfig
+    from rs_sfm_tpu.geom.camera import Intrinsics
+    from rs_sfm_tpu.rectify.backproject import backproject
+    from rs_sfm_tpu.geom.rspose import scanline_poses
+    from rs_sfm_tpu.solver.pipeline import estimate_from_flow
+    from __graft_entry__ import _make_flow
+
+    h, w = 1080, 1920
+    intr = Intrinsics(fx=1803.3, fy=1799.4, cx=945.3, cy=544.7)
+    gamma = 0.9
+    cfg = PipelineConfig(ransac_trials=256, ransac_chunk=32,
+                         refine_iterations=50)
+
+    flow = jnp.asarray(_make_flow(h, w))
+    image = jnp.asarray(
+        (np.random.default_rng(0).uniform(0.1, 0.9, (h, w, 3)))
+        .astype(np.float32))
+
+    @jax.jit
+    def step(flow, image, key):
+        res = estimate_from_flow(flow, intr, gamma, cfg, key)
+        r, t = scanline_poses(res.v, res.w, res.k, h, gamma,
+                              dtype=flow.dtype)
+        rect = backproject(image, res.depth_map, r, t, intr)
+        return res.v, res.w, res.k, res.num_inliers, rect.gs_image
+
+    key = jax.random.PRNGKey(0)
+    out = step(flow, image, key)
+    jax.block_until_ready(out)  # compile + warm up
+
+    # Block every iteration: with the remote-executed TPU platform a single
+    # trailing block_until_ready under-reports by orders of magnitude.
+    n_iters = 5
+    times = []
+    for i in range(n_iters):
+        t0 = time.perf_counter()
+        out = step(flow, image, jax.random.PRNGKey(i))
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+
+    pairs_per_s = 1.0 / dt
+    baseline_pairs_per_s = 1.0 / 130.0
+    result = {
+        "metric": "rs_sfm_fullhd_pairs_per_s_per_chip",
+        "value": round(pairs_per_s, 4),
+        "unit": "frame-pairs/s (1920x1080, 256-trial RANSAC + 50-iter "
+                "Schur-LM refine + rectify; GT-flow path)",
+        "vs_baseline": round(pairs_per_s / baseline_pairs_per_s, 1),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

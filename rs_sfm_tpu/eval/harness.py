@@ -1,0 +1,153 @@
+"""Evaluation harness: the reference's evaluateVelocities protocol.
+
+error_measure::evaluateVelocities (reference src/errorMeasure.cpp:41-254):
+flow → flatten/normalize → N repeated evaluations of RANSAC(+refinement) →
+per-run rotation/translation errors, depth map artifact, back-projection,
+scale-aligned 3D reprojection error → averaged VelocityErrors.
+
+Here each evaluation is one call of the jitted pipeline with a fresh PRNG
+key (the reference's repetition loop exists because its RANSAC is
+time-seeded and noisy; ours is deterministic per key).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from rs_sfm_tpu.config import PipelineConfig
+from rs_sfm_tpu.data.dataset import PairData, true_depth_from_unprojection
+from rs_sfm_tpu.eval import artifacts
+from rs_sfm_tpu.eval.metrics import (mean_reprojection_error, rotation_error,
+                                     translation_error)
+from rs_sfm_tpu.flow.true_flow import true_flow
+from rs_sfm_tpu.geom.rspose import scanline_poses
+from rs_sfm_tpu.rectify.backproject import backproject
+from rs_sfm_tpu.solver.pipeline import estimate_from_flow
+
+
+class VelocityErrors(NamedTuple):
+    """Per-run arrays + means (reference VelocityErrors,
+    src/errorMeasure.h:18-44)."""
+
+    w: np.ndarray               # (3, num_evaluations)
+    v: np.ndarray               # (3, num_evaluations)
+    k: np.ndarray               # (num_evaluations,)
+    error_w_vec: np.ndarray     # (num_evaluations,)
+    error_v_vec: np.ndarray     # (num_evaluations,)
+    error_reproject_vec: np.ndarray  # (num_evaluations,)
+    error_w: float
+    error_v: float
+    error_reproject: float
+    num_inliers: np.ndarray     # (num_evaluations,)
+
+
+def compute_flow(pair: PairData, use_deep_flow: bool = False,
+                 dtype=jnp.float32):
+    """Dense flow for a pair: ground-truth reprojection flow or dense
+    estimation (src/errorMeasure.cpp:48-55)."""
+    if use_deep_flow:
+        from rs_sfm_tpu.flow.dense import dense_flow
+
+        i1 = jnp.asarray(pair.frame1.rs_image, dtype=dtype) / 255.0
+        i2 = jnp.asarray(pair.frame2.rs_image, dtype=dtype) / 255.0
+        return dense_flow(i1, i2)
+    if pair.frame1.rs_unproject is None:
+        raise ValueError("ground-truth flow needs unprojection maps; "
+                         "use use_deep_flow=True for real pairs")
+    return true_flow(jnp.asarray(pair.frame1.rs_unproject, dtype=dtype),
+                     jnp.asarray(pair.frame2.poses_r, dtype=dtype),
+                     jnp.asarray(pair.frame2.poses_t, dtype=dtype),
+                     pair.intrinsics)
+
+
+def evaluate_velocities(
+    pair: PairData,
+    cfg: PipelineConfig,
+    *,
+    gamma: Optional[float] = None,
+    num_evaluations: int = 2,
+    use_deep_flow: bool = False,
+    key=None,
+    image_path: Optional[str] = None,
+    dtype=None,
+) -> VelocityErrors:
+    """Run the evaluateVelocities protocol on one pair.
+
+    Args:
+      pair: loaded pair with GT (v, w from the task dir).
+      cfg: pipeline configuration (the reference harness pins
+        tolerance 0.05 — src/errorMeasure.cpp:45 — pass it via cfg).
+      gamma: readout ratio (defaults to the pair's GT gamma).
+      num_evaluations: repetition count (reference NUM_EVALUATIONS).
+      use_deep_flow: dense flow instead of GT flow.
+      key: PRNG key (split per evaluation).
+      image_path: if given, write per-run depth maps + PLY there
+        (src/errorMeasure.cpp:199-230).
+
+    Returns:
+      VelocityErrors.
+    """
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    gamma = float(pair.gamma if gamma is None else gamma)
+    key = jax.random.PRNGKey(0) if key is None else key
+    v_true = jnp.asarray(pair.v, dtype=dtype)
+    w_true = jnp.asarray(pair.w, dtype=dtype)
+
+    flow_px = compute_flow(pair, use_deep_flow, dtype=dtype)
+    h, w_cols = flow_px.shape[:2]
+    true_depth = None
+    if pair.frame1.rs_unproject is not None:
+        true_depth = jnp.asarray(true_depth_from_unprojection(
+            np.asarray(pair.frame1.rs_unproject),
+            np.asarray(pair.frame1.poses_r),
+            np.asarray(pair.frame1.poses_t)), dtype=dtype)
+
+    ws, vs, ks, ew, ev, er, ni = [], [], [], [], [], [], []
+    keys = jax.random.split(key, num_evaluations)
+    for run, k_i in enumerate(keys):
+        res = estimate_from_flow(flow_px, pair.intrinsics, gamma, cfg, k_i)
+        ws.append(np.asarray(res.w))
+        vs.append(np.asarray(res.v))
+        ks.append(float(res.k))
+        ni.append(int(res.num_inliers))
+        ew.append(float(rotation_error(res.w, w_true)))
+        ev.append(float(translation_error(res.v, v_true)))
+
+        # Rectify with the estimated motion + depth; 3D error vs GT.
+        r_sl, t_sl = scanline_poses(res.v, res.w, res.k, h, gamma,
+                                    dtype=dtype)
+        rect = backproject(jnp.asarray(pair.frame1.rs_image) if
+                           pair.frame1.rs_image.dtype == np.uint8 else
+                           jnp.asarray(pair.frame1.rs_image),
+                           res.depth_map, r_sl, t_sl, pair.intrinsics)
+        if true_depth is not None:
+            err3d, _, _ = mean_reprojection_error(
+                rect.coords_3d, rect.valid, true_depth,
+                jnp.asarray(pair.frame1.poses_r, dtype=dtype),
+                jnp.asarray(pair.frame1.poses_t, dtype=dtype),
+                pair.intrinsics)
+            er.append(float(err3d))
+        else:
+            er.append(float("nan"))
+
+        if image_path:
+            os.makedirs(image_path, exist_ok=True)
+            artifacts._imwrite(
+                os.path.join(image_path, f"depth_{run}.png"),
+                artifacts.depth_image(res.depth_map))
+
+    return VelocityErrors(
+        w=np.stack(ws, axis=1), v=np.stack(vs, axis=1), k=np.asarray(ks),
+        error_w_vec=np.asarray(ew), error_v_vec=np.asarray(ev),
+        error_reproject_vec=np.asarray(er),
+        error_w=float(np.mean(ew)), error_v=float(np.mean(ev)),
+        error_reproject=float(np.nanmean(er)) if er else float("nan"),
+        num_inliers=np.asarray(ni))

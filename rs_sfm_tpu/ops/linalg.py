@@ -76,7 +76,9 @@ def eigh_small(a, sweeps: int | None = None):
     if sweeps is None:
         sweeps = 8 if n <= 4 else 12
     a = (a + jnp.swapaxes(a, -1, -2)) * 0.5
-    v = jnp.broadcast_to(jnp.eye(n, dtype=a.dtype), a.shape)
+    # Derive the identity init from `a` (not broadcast_to) so its sharding
+    # metadata matches inside shard_map'ed loop carries.
+    v = jnp.zeros_like(a) + jnp.eye(n, dtype=a.dtype)
 
     def sweep(_, av):
         a, v = av

@@ -1,0 +1,96 @@
+"""Rectification and evaluation metrics against rendered ground truth."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from rs_sfm_tpu.data.synthetic import (castle_scene, default_intrinsics,
+                                       render_pair)
+from rs_sfm_tpu.eval.metrics import (mean_reprojection_error, rotation_error,
+                                     translation_error)
+from rs_sfm_tpu.geom.rspose import scanline_poses
+from rs_sfm_tpu.rectify.backproject import backproject
+from rs_sfm_tpu.rectify.crackfill import fill_cracks
+
+H = W = 96
+GAMMA = 0.9
+V = np.array([0.12, -0.05, 0.08])
+WROT = np.array([0.003, -0.002, 0.004])
+
+
+def _pair():
+    scene = castle_scene(dtype=jnp.float64)
+    intr = default_intrinsics(H, W)
+    return render_pair(scene, intr, H, W, gamma=GAMMA, k=0.0,
+                       v=V, w=WROT, dtype=jnp.float64), intr
+
+
+def test_backproject_reproduces_gs_image():
+    pair, intr = _pair()
+    f1 = pair.frame1
+    r, t = scanline_poses(jnp.asarray(V), jnp.asarray(WROT), 0.0, H, GAMMA,
+                          dtype=jnp.float64)
+    res = backproject(f1.rs_image, f1.rs_depth, r, t, intr)
+    gs = np.asarray(f1.gs_image)
+    rect = np.asarray(res.gs_image)
+    scattered = np.asarray(res.scattered)
+    assert scattered.mean() > 0.5
+    # Rectified colors should match the true GS render where scattered
+    # (nearest-neighbor scatter of a smooth texture: small mean error).
+    diff = np.abs(rect - gs)[scattered].mean()
+    assert diff < 0.06, diff
+    # Against doing nothing: RS image vs GS image is worse.
+    base = np.abs(np.asarray(f1.rs_image) - gs)[scattered].mean()
+    assert diff < base
+
+
+def test_backproject_gs_mode_differs():
+    pair, intr = _pair()
+    f1 = pair.frame1
+    r, t = scanline_poses(jnp.asarray(V), jnp.asarray(WROT), 0.0, H, GAMMA,
+                          dtype=jnp.float64)
+    res_rs = backproject(f1.rs_image, f1.rs_depth, r, t, intr)
+    res_gs = backproject(f1.rs_image, f1.rs_depth, r, t, intr,
+                         use_scanline_pose=False)
+    gs = np.asarray(f1.gs_image)
+    err_rs = np.abs(np.asarray(res_rs.gs_image) - gs)[
+        np.asarray(res_rs.scattered)].mean()
+    err_gs = np.abs(np.asarray(res_gs.gs_image) - gs)[
+        np.asarray(res_gs.scattered)].mean()
+    # The GS-assumption baseline cannot undo the RS warp.
+    assert err_rs < err_gs
+
+
+def test_mean_reprojection_error_zero_at_gt():
+    pair, intr = _pair()
+    f1 = pair.frame1
+    r, t = scanline_poses(jnp.asarray(V), jnp.asarray(WROT), 0.0, H, GAMMA,
+                          dtype=jnp.float64)
+    res = backproject(f1.rs_image, f1.rs_depth, r, t, intr)
+    err, scale, true3d = mean_reprojection_error(
+        res.coords_3d, res.valid, f1.rs_depth, f1.poses_r, f1.poses_t, intr)
+    # World frame == frame-1 scanline-0 camera frame, so relocation is a
+    # no-op and GT-depth backprojection must land on the GT points.
+    assert abs(float(scale) - 1.0) < 5e-3
+    assert float(err) < 1e-2, float(err)
+
+
+def test_rotation_translation_errors():
+    # The reference's small-angle metric has an O(|w|²) floor even at the
+    # exact answer ((I+ŵ)(I+ŵ)ᵀ = I − ŵ² ≠ I); reproduce that behavior.
+    w = jnp.asarray([0.01, -0.02, 0.005], jnp.float64)
+    assert float(rotation_error(w, w)) < float(jnp.sum(w * w)) * 2.0
+    v = jnp.asarray([1.0, 0.0, 0.0], jnp.float64)
+    v2 = jnp.asarray([0.0, 2.0, 0.0], jnp.float64)
+    assert float(translation_error(v, v2)) == np.pi / 2
+    assert float(translation_error(v, 3.0 * v)) < 1e-6
+
+
+def test_crack_fill():
+    img = np.full((16, 16, 3), 120, dtype=np.uint8)
+    img[8, 8] = 0  # crack
+    out = np.asarray(fill_cracks(jnp.asarray(img)))
+    np.testing.assert_array_equal(out[8, 8], [120, 120, 120])
+    # A black pixel inside a black region stays black.
+    img2 = np.zeros((16, 16, 3), dtype=np.uint8)
+    out2 = np.asarray(fill_cracks(jnp.asarray(img2)))
+    assert (out2 == 0).all()
