@@ -50,20 +50,23 @@ def main():
         r, t = scanline_poses(res.v, res.w, res.k, h, gamma,
                               dtype=flow.dtype)
         rect = backproject(image, res.depth_map, r, t, intr)
-        return res.v, res.w, res.k, res.num_inliers, rect.gs_image
+        # Scalar checksum: forces full execution and is the value fetched
+        # for synchronization (block_until_ready does not reliably wait on
+        # remote-executed TPU platforms).
+        checksum = (res.v.sum() + res.depth_map.sum()
+                    + rect.gs_image.sum())
+        return res.v, res.w, res.k, res.num_inliers, checksum
 
     key = jax.random.PRNGKey(0)
     out = step(flow, image, key)
-    jax.block_until_ready(out)  # compile + warm up
+    float(out[4])  # compile + warm up; value fetch = true barrier
 
-    # Block every iteration: with the remote-executed TPU platform a single
-    # trailing block_until_ready under-reports by orders of magnitude.
     n_iters = 5
     times = []
     for i in range(n_iters):
         t0 = time.perf_counter()
         out = step(flow, image, jax.random.PRNGKey(i))
-        jax.block_until_ready(out)
+        float(out[4])
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times))
 

@@ -1,0 +1,76 @@
+"""Dense variational flow vs ground-truth flow on rendered pairs."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from rs_sfm_tpu.data.synthetic import (castle_scene, default_intrinsics,
+                                       render_pair)
+from rs_sfm_tpu.flow.dense import DenseFlowConfig, dense_flow
+from rs_sfm_tpu.flow.true_flow import true_flow
+
+H = W = 128
+
+
+def _pair_and_gt(v, w, gamma=0.9):
+    scene = castle_scene(dtype=jnp.float64)
+    intr = default_intrinsics(H, W)
+    pair = render_pair(scene, intr, H, W, gamma=gamma, k=0.0,
+                       v=np.asarray(v), w=np.asarray(w), dtype=jnp.float64)
+    gt = true_flow(pair.frame1.rs_unproject, pair.frame2.poses_r,
+                   pair.frame2.poses_t, intr)
+    return pair, np.asarray(gt)
+
+
+def test_dense_flow_translation():
+    pair, gt = _pair_and_gt([0.12, -0.05, 0.0], [0.0, 0.0, 0.0])
+    est = np.asarray(dense_flow(pair.frame1.rs_image.astype(jnp.float32),
+                                pair.frame2.rs_image.astype(jnp.float32)))
+    hit = np.asarray(pair.frame1.rs_depth) > 0
+    # Evaluate away from borders and depth discontinuities are included —
+    # use median end-point error.
+    inner = np.zeros_like(hit)
+    inner[8:-8, 8:-8] = True
+    m = hit & inner
+    epe = np.linalg.norm(est - gt, axis=-1)[m]
+    mag = np.linalg.norm(gt, axis=-1)[m].mean()
+    assert mag > 1.0
+    assert np.median(epe) < 0.35, (np.median(epe), mag)
+
+
+def test_dense_flow_general_motion():
+    pair, gt = _pair_and_gt([0.12, -0.05, 0.08], [0.003, -0.002, 0.004])
+    est = np.asarray(dense_flow(pair.frame1.rs_image.astype(jnp.float32),
+                                pair.frame2.rs_image.astype(jnp.float32)))
+    hit = np.asarray(pair.frame1.rs_depth) > 0
+    inner = np.zeros_like(hit)
+    inner[8:-8, 8:-8] = True
+    m = hit & inner
+    epe = np.linalg.norm(est - gt, axis=-1)[m]
+    assert np.median(epe) < 0.5, np.median(epe)
+    # Outlier fraction moderate (discontinuities, sky boundary).
+    assert (epe > 2.0).mean() < 0.1
+
+
+def test_pipeline_from_dense_flow():
+    """The real-image path: estimated (not GT) flow into the full pipeline."""
+    import jax
+    from rs_sfm_tpu.config import PipelineConfig
+    from rs_sfm_tpu.solver.pipeline import estimate_from_flow
+
+    v_true = np.array([0.12, -0.05, 0.08])
+    w_true = np.array([0.003, -0.002, 0.004])
+    pair, _ = _pair_and_gt(v_true, w_true)
+    intr = default_intrinsics(H, W)
+    est = dense_flow(pair.frame1.rs_image.astype(jnp.float32),
+                     pair.frame2.rs_image.astype(jnp.float32))
+    cfg = PipelineConfig(ransac_trials=128, ransac_tol=0.01)
+    res = estimate_from_flow(est.astype(jnp.float64), intr, 0.9, cfg,
+                             jax.random.PRNGKey(0))
+    v_unit = v_true / np.linalg.norm(v_true)
+    vang = np.arccos(np.clip(
+        np.asarray(res.v) @ v_unit / np.linalg.norm(res.v), -1, 1))
+    # Noisy estimated flow at 128px: the rotational flow component
+    # (~0.4 px) sits near the flow noise floor (~0.3-0.5 px median EPE), so
+    # only coarse motion recovery is achievable at this resolution.
+    assert vang < 0.15, vang
+    assert np.linalg.norm(np.asarray(res.w) - w_true) < 1e-2
