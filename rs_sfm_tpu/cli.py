@@ -143,9 +143,23 @@ def cmd_sweep(args):
     with open(os.path.join(path, "tasks.txt")) as f:
         tasks = [line.strip() for line in f if line.strip()]
 
-    stamp = datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
-    results_dir = os.path.join(path, "results", stamp)
+    # Checkpoint/resume: --resume continues an existing results dir, skipping
+    # tasks recorded in its progress file (the reference's only resume story
+    # is skipping already-rendered data dirs on the MATLAB side,
+    # start_generating.m:33-36).
+    done: set = set()
+    if args.resume:
+        results_dir = args.resume
+        progress_path = os.path.join(results_dir, "progress.json")
+        if os.path.exists(progress_path):
+            with open(progress_path) as f:
+                done = set(json.load(f)["done"])
+        print(f"resuming {results_dir}: {len(done)} task(s) already done")
+    else:
+        stamp = datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
+        results_dir = os.path.join(path, "results", stamp)
     os.makedirs(results_dir, exist_ok=True)
+    progress_path = os.path.join(results_dir, "progress.json")
 
     cfg = PipelineConfig(
         ransac_trials=args.ransac_trials, ransac_tol=args.ransac_tol,
@@ -162,13 +176,18 @@ def cmd_sweep(args):
                 f"use refinement: {int(cfg.use_refinement)}\n"
                 + "-" * 46 + "\n" + "\n".join(tasks) + "\n")
 
-    files = {name: open(os.path.join(results_dir, name + ".csv"), "w")
+    mode = "a" if args.resume else "w"
+    files = {name: open(os.path.join(results_dir, name + ".csv"), mode)
              for name in ["w", "v", "k", "reproject_errors", "error_v",
                           "error_w"]}
-    errors_f = open(os.path.join(results_dir, "errors.csv"), "w")
-    errors_f.write("task,error_w,error_v,reproject_error\n")
+    errors_f = open(os.path.join(results_dir, "errors.csv"), mode)
+    if not args.resume:
+        errors_f.write("task,error_w,error_v,reproject_error\n")
 
     for i, task in enumerate(tasks):
+        if task in done:
+            print(f"\nSkipping {task} (already done)")
+            continue
         print(f"\nExecuting task {task}...")
         pair = load_synthetic_pair(os.path.join(path, task))
         image_path = os.path.join(results_dir, "depthMaps", str(i))
@@ -190,6 +209,12 @@ def cmd_sweep(args):
         files["error_w"].write(",".join(map(str, errs.error_w_vec)) + "\n")
         print(f"  error_w={errs.error_w:.6f} error_v={errs.error_v:.6f} "
               f"reproject={errs.error_reproject:.4f}")
+        done.add(task)
+        for f in files.values():
+            f.flush()
+        errors_f.flush()
+        with open(progress_path, "w") as f:
+            json.dump({"done": sorted(done)}, f)
 
     for f in files.values():
         f.close()
@@ -240,6 +265,8 @@ def main(argv=None):
     sw = sub.add_parser("sweep", help="task-list evaluation harness")
     sw.add_argument("--path", required=True)
     sw.add_argument("--num-evaluations", type=int, default=2)
+    sw.add_argument("--resume", default=None,
+                    help="existing results dir to continue")
     add_est_flags(sw)
     sw.set_defaults(fn=cmd_sweep)
 

@@ -69,6 +69,9 @@ class PipelineConfig:
     use_global_shutter: bool = False
     use_refinement: bool = True
     refine_iterations: int = 50
+    # "xla" = portable implementation (any dtype, shard_map-ready);
+    # "pallas" = fused TPU kernels (float32, single device).
+    refine_engine: str = "xla"
     # Maximum hypotheses scored at once (memory control: trials are processed
     # in chunks of this size; each chunk materializes a (chunk, N) residual).
     ransac_chunk: int = 64

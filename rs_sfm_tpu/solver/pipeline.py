@@ -94,11 +94,19 @@ def estimate_from_flow(
         tolerance=cfg.ransac_tol, chunk=cfg.ransac_chunk)
 
     if cfg.use_refinement:
-        ref = refine(
-            coords, flow_n, alpha, alpha_k, rr.inlier_mask,
-            rr.v, rr.w, rr.k, rr.inv_depth,
-            optimize_k=use_k, iterations=cfg.refine_iterations,
-            axis_name=axis_name)
+        if cfg.refine_engine == "pallas" and axis_name is None:
+            from rs_sfm_tpu.solver.refine_pallas import refine_pallas
+
+            ref = refine_pallas(
+                coords, flow_n, alpha, alpha_k, rr.inlier_mask,
+                rr.v, rr.w, rr.k, rr.inv_depth,
+                optimize_k=use_k, iterations=cfg.refine_iterations)
+        else:
+            ref = refine(
+                coords, flow_n, alpha, alpha_k, rr.inlier_mask,
+                rr.v, rr.w, rr.k, rr.inv_depth,
+                optimize_k=use_k, iterations=cfg.refine_iterations,
+                axis_name=axis_name)
         v, w, k, rho = ref.v, ref.w, ref.k, ref.inv_depth
         refine_cost = ref.cost
     else:

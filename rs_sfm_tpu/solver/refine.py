@@ -142,10 +142,14 @@ def refine(
         j_theta = j_theta.at[..., 6].multiply(k_keep)
 
         mw = m[..., None]
-        # Pixel-wise blocks.
-        h_tt = _psum(
-            jnp.einsum("nri,nrj->ij", j_theta * mw[..., None], j_theta), axis_name)
-        g_t = _psum(jnp.einsum("nri,nr->i", j_theta, r * mw), axis_name)
+        # One augmented Gram product gives JᵀJ, Jᵀr and rᵀr together:
+        # X = [Jθ | r] masked, M = XᵀX ⇒ H = M[:7,:7], g = M[:7,7],
+        # current cost = M[7,7].
+        x_aug = jnp.concatenate(
+            [j_theta * mw[..., None], (r * mw)[..., None]], axis=-1)
+        gram = jnp.einsum("nri,nrj->ij", x_aug, x_aug)
+        h_tt = _psum(gram[:7, :7], axis_name)
+        g_t = _psum(gram[:7, 7], axis_name)
         c_i = jnp.einsum("nri,nr->ni", j_theta, j_rho * mw)  # (N, 7)
         d_i = jnp.sum(j_rho * j_rho, axis=-1) * m            # (N,)
         g_rho = jnp.sum(j_rho * r, axis=-1) * m              # (N,)
@@ -159,9 +163,15 @@ def refine(
         d_safe = jnp.where(d_aug > 0.0, d_aug, jnp.ones_like(d_aug))
         informative = (d_aug > 0.0)
 
-        ci_over_d = jnp.where(informative[..., None], c_i / d_safe[..., None], 0.0)
-        h_red = h_aug - _psum(jnp.einsum("ni,nj->ij", ci_over_d, c_i), axis_name)
-        g_red = g_t - _psum(jnp.einsum("ni,n->i", ci_over_d, g_rho), axis_name)
+        # Augmented Schur product: Y = [c/√d̃ | g_ρ/√d̃] ⇒ YᵀY packs
+        # Σ c cᵀ/d̃ and Σ c g_ρ/d̃ into one Gram matrix.
+        inv_sqrt_d = jnp.where(informative, 1.0 / jnp.sqrt(d_safe), 0.0)
+        y_aug = jnp.concatenate(
+            [c_i * inv_sqrt_d[..., None],
+             (g_rho * inv_sqrt_d)[..., None]], axis=-1)
+        gram_y = _psum(jnp.einsum("ni,nj->ij", y_aug, y_aug), axis_name)
+        h_red = h_aug - gram_y[:7, :7]
+        g_red = g_t - gram_y[:7, 7]
 
         # GN step: (JᵀJ)δ = −Jᵀr  (note r = observed − predicted, and
         # j_theta = ∂r/∂θ, so the normal equations carry the minus here).

@@ -94,3 +94,55 @@ def test_crack_fill():
     img2 = np.zeros((16, 16, 3), dtype=np.uint8)
     out2 = np.asarray(fill_cracks(jnp.asarray(img2)))
     assert (out2 == 0).all()
+
+
+def test_backproject_sort_matches_scatter():
+    """Sort-based and scatter-based z-buffers agree (up to quantized-depth
+    ties, absent in this scene)."""
+    pair, intr = _pair()
+    f1 = pair.frame1
+    r, t = scanline_poses(jnp.asarray(V), jnp.asarray(WROT), 0.0, H, GAMMA,
+                          dtype=jnp.float64)
+    a = backproject(f1.rs_image, f1.rs_depth, r, t, intr, method="sort")
+    b = backproject(f1.rs_image, f1.rs_depth, r, t, intr, method="scatter")
+    np.testing.assert_array_equal(np.asarray(a.scattered),
+                                  np.asarray(b.scattered))
+    sa = np.asarray(a.gs_image)
+    sb = np.asarray(b.gs_image)
+    mism = (np.abs(sa - sb).max(axis=-1) > 1e-6).mean()
+    assert mism < 0.01, mism
+
+
+def test_small_motion_warp():
+    from rs_sfm_tpu.rectify.warp import small_motion_warp
+
+    pair, intr = _pair()
+    f1 = pair.frame1
+    res = small_motion_warp(f1.rs_image, f1.rs_depth, V, WROT, 0.0, GAMMA,
+                            intr)
+    gs = np.asarray(f1.gs_image)
+    warped = np.asarray(res.gs_image)
+    scattered = np.asarray(res.scattered)
+    assert scattered.mean() > 0.5
+    err_warp = np.abs(warped - gs)[scattered].mean()
+    err_base = np.abs(np.asarray(f1.rs_image) - gs)[scattered].mean()
+    # The flow-model warp improves on doing nothing (it is the first-order
+    # version of backproject).
+    assert err_warp < err_base
+
+
+def test_flow_consistency_check():
+    from rs_sfm_tpu.flow.check import flow_consistency_error
+    from rs_sfm_tpu.flow.true_flow import true_flow
+
+    pair, intr = _pair()
+    flow = true_flow(pair.frame1.rs_unproject, pair.frame2.poses_r,
+                     pair.frame2.poses_t, intr)
+    hit = pair.frame1.rs_depth > 0
+    err_true = float(flow_consistency_error(
+        pair.frame1.rs_image, pair.frame2.rs_image, flow, hit))
+    err_zero = float(flow_consistency_error(
+        pair.frame1.rs_image, pair.frame2.rs_image,
+        jnp.zeros_like(flow), hit))
+    assert err_true < 0.5 * err_zero
+    assert err_true < 0.05
