@@ -37,7 +37,10 @@ def main():
     intr = Intrinsics(fx=1803.3, fy=1799.4, cx=945.3, cy=544.7)
     gamma = 0.9
     cfg = PipelineConfig(ransac_trials=256, ransac_chunk=32,
-                         refine_iterations=50)
+                         refine_iterations=50,
+                         # Fused Pallas LM kernels: ~2.2x the XLA refine
+                         # (90 ms vs 202 ms for 50 iterations at full-HD).
+                         refine_engine="pallas")
 
     flow = jnp.asarray(_make_flow(h, w))
     image = jnp.asarray(

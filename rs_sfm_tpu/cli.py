@@ -64,6 +64,46 @@ def cmd_generate(args):
     print(f"wrote dataset to {args.out} (images under {prefix})")
 
 
+def cmd_generate_sweep(args):
+    """Render a parameter-sweep dataset (replaces the MATLAB castle.m sweep
+    driver, matlab_synthetic_data/castle.m:11-30): one task directory per
+    parameter combination + tasks.txt."""
+    jax = _setup_jax(args)
+    import jax.numpy as jnp
+
+    from rs_sfm_tpu.data.dataset import save_synthetic_pair
+    from rs_sfm_tpu.data.synthetic import (castle_scene, default_intrinsics,
+                                           render_pair)
+
+    dtype = jnp.float64 if args.x64 else jnp.float32
+    scene = castle_scene(dtype=dtype)
+    h = w = args.size
+    intr = default_intrinsics(h, w)
+    gammas = [float(x) for x in args.gammas.split(",")]
+    ks = [float(x) for x in args.ks.split(",")]
+    vs = [float(x) for x in args.vs.split(",")]
+    ws = [float(x) for x in args.ws.split(",")]
+    # Mean scene depth scaling of |v| (start_generating.m:56-58) with the
+    # castle proxy's ~6-unit mean depth.
+    mean_depth = 6.0
+    tasks = []
+    for g in gammas:
+        for k in ks:
+            for vmag in vs:
+                for wmag in ws:
+                    name = f"g{g}_k{k}_v{vmag}_w{wmag}"
+                    v_vec = jnp.asarray([vmag, vmag, 0.0]) * mean_depth
+                    w_vec = jnp.asarray([0.0, 0.0, wmag])
+                    pair = render_pair(scene, intr, h, w, gamma=g, k=k,
+                                       v=v_vec, w=w_vec, dtype=dtype)
+                    save_synthetic_pair(pair, os.path.join(args.out, name))
+                    tasks.append(name)
+                    print("rendered", name)
+    with open(os.path.join(args.out, "tasks.txt"), "w") as f:
+        f.write("\n".join(tasks) + "\n")
+    print(f"{len(tasks)} task(s) under {args.out}")
+
+
 def cmd_single_run(args):
     jax = _setup_jax(args)
     import jax.numpy as jnp
@@ -222,6 +262,32 @@ def cmd_sweep(args):
     print(f"\nresults written to {results_dir}")
 
 
+def cmd_test_flow(args):
+    """Flow self-check (the reference's testFlow, src/main.cc:563-609, as an
+    assertable metric instead of an imshow diff)."""
+    jax = _setup_jax(args)
+    import jax.numpy as jnp
+
+    from rs_sfm_tpu.data.dataset import load_synthetic_pair
+    from rs_sfm_tpu.eval.harness import compute_flow
+    from rs_sfm_tpu.flow.check import flow_consistency_error
+
+    dtype = jnp.float64 if args.x64 else jnp.float32
+    pair = load_synthetic_pair(args.data)
+    i1 = jnp.asarray(pair.frame1.rs_image, dtype) / 255.0
+    i2 = jnp.asarray(pair.frame2.rs_image, dtype) / 255.0
+    for name, deep in [("true", False), ("dense", True)]:
+        try:
+            flow = compute_flow(pair, deep, dtype=dtype)
+        except ValueError:
+            continue
+        err = float(flow_consistency_error(i1, i2, flow))
+        base = float(flow_consistency_error(i1, i2, jnp.zeros_like(flow)))
+        verdict = "OK" if err < 0.7 * base else "SUSPECT"
+        print(f"{name} flow: warp error {err:.4f} (no-flow baseline "
+              f"{base:.4f}) -> {verdict}")
+
+
 def cmd_bench(args):
     del args
     import bench
@@ -242,6 +308,17 @@ def main(argv=None):
     g.add_argument("--w", default="0.003,-0.002,0.004")
     _add_common(g)
     g.set_defaults(fn=cmd_generate)
+
+    gs = sub.add_parser("generate-sweep",
+                        help="render a parameter-sweep dataset grid")
+    gs.add_argument("--out", required=True)
+    gs.add_argument("--size", type=int, default=128)
+    gs.add_argument("--gammas", default="0.1,0.5,0.9")
+    gs.add_argument("--ks", default="0")
+    gs.add_argument("--vs", default="0.02")
+    gs.add_argument("--ws", default="0.001")
+    _add_common(gs)
+    gs.set_defaults(fn=cmd_generate_sweep)
 
     def add_est_flags(p):
         p.add_argument("--ransac-trials", type=int, default=256)
@@ -269,6 +346,11 @@ def main(argv=None):
                     help="existing results dir to continue")
     add_est_flags(sw)
     sw.set_defaults(fn=cmd_sweep)
+
+    tf = sub.add_parser("test-flow", help="flow warp self-check")
+    tf.add_argument("--data", required=True)
+    _add_common(tf)
+    tf.set_defaults(fn=cmd_test_flow)
 
     b = sub.add_parser("bench", help="one-line JSON benchmark")
     _add_common(b)

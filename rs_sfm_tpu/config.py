@@ -72,6 +72,7 @@ class PipelineConfig:
     # "xla" = portable implementation (any dtype, shard_map-ready);
     # "pallas" = fused TPU kernels (float32, single device).
     refine_engine: str = "xla"
+    ransac_engine: str = "xla"
     # Maximum hypotheses scored at once (memory control: trials are processed
     # in chunks of this size; each chunk materializes a (chunk, N) residual).
     ransac_chunk: int = 64

@@ -100,21 +100,28 @@ def _reduce_kernel(params_ref, px_ref, out_ref):
     for i in range(7):
         c[i] = (jx[i] * jrx + jy[i] * jry) * m
 
+    # Mosaic forbids scalar stores to VMEM: accumulate the 71 partials into
+    # a (1, 128) row via one-hot lane masks and store it once.
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    acc = jnp.zeros((1, 128), jnp.float32)
+
+    def put(acc, idx, val):
+        return acc + jnp.where(lane == idx, val, jnp.float32(0.0))
+
     idx = 0
     for i, j in _TRIU:
-        out_ref[0, idx] = jnp.sum((jx[i] * jx[j] + jy[i] * jy[j]) * m)
+        acc = put(acc, idx, jnp.sum((jx[i] * jx[j] + jy[i] * jy[j]) * m))
         idx += 1
     for i in range(7):
-        out_ref[0, 28 + i] = jnp.sum((jx[i] * rx + jy[i] * ry) * m)
-    out_ref[0, 35] = jnp.sum((rx * rx + ry * ry) * m)
+        acc = put(acc, 28 + i, jnp.sum((jx[i] * rx + jy[i] * ry) * m))
+    acc = put(acc, 35, jnp.sum((rx * rx + ry * ry) * m))
     idx = 36
     for i, j in _TRIU:
-        out_ref[0, idx] = jnp.sum(c[i] * c[j] * inv_d)
+        acc = put(acc, idx, jnp.sum(c[i] * c[j] * inv_d))
         idx += 1
     for i in range(7):
-        out_ref[0, 64 + i] = jnp.sum(c[i] * g_rho * inv_d)
-    for i in range(71, 128):
-        out_ref[0, i] = jnp.float32(0.0)
+        acc = put(acc, 64 + i, jnp.sum(c[i] * g_rho * inv_d))
+    out_ref[0, :, :] = acc
 
 
 def _update_kernel(params_ref, px_ref, rho_ref, cost_ref):
@@ -139,9 +146,10 @@ def _update_kernel(params_ref, px_ref, rho_ref, cost_ref):
     c_dot_dth = jnp.zeros_like(x)
     for i in range(7):
         c_dot_dth = c_dot_dth + (jx[i] * jrx + jy[i] * jry) * m * dth[i]
-    delta_rho = jnp.where(informative, -(g_rho + c_dot_dth) / d_safe, 0.0)
+    delta_rho = jnp.where(informative, -(g_rho + c_dot_dth) / d_safe,
+                          jnp.float32(0.0))
     rho_new = rho + delta_rho * m
-    rho_ref[0, :] = rho_new
+    rho_ref[0, 0, :] = rho_new
 
     # Candidate cost at (θ+δθ, ρ_new).
     v0 = theta[0] + dth[0]
@@ -158,9 +166,9 @@ def _update_kernel(params_ref, px_ref, rho_ref, cost_ref):
     by_n = -(1.0 + y * y) * w0 + x * y * w1 + x * w2
     rx_n = px_ref[2, :] - beta_n * (ax_n * rho_new + bx_n)
     ry_n = px_ref[3, :] - beta_n * (ay_n * rho_new + by_n)
-    cost_ref[0, 0] = jnp.sum((rx_n * rx_n + ry_n * ry_n) * m)
-    for i in range(1, 128):
-        cost_ref[0, i] = jnp.float32(0.0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    cost_val = jnp.sum((rx_n * rx_n + ry_n * ry_n) * m)
+    cost_ref[0, :, :] = jnp.where(lane == 0, cost_val, jnp.float32(0.0))
 
 
 def _unpack_tri(tri):
@@ -186,12 +194,12 @@ def lm_reduce(px, params, interpret: bool = False):
             pl.BlockSpec((8, TILE), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 128), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((1, 1, 128), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((tiles, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((tiles, 1, 128), jnp.float32),
         interpret=interpret,
     )(params, px)
-    s = out.sum(axis=0)
+    s = out.sum(axis=(0, 1))
     return (_unpack_tri(s[0:28]), s[28:35], s[35], _unpack_tri(s[36:64]),
             s[64:71])
 
@@ -209,15 +217,15 @@ def lm_update(px, params, interpret: bool = False):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, TILE), lambda i: (i, 0),
+            pl.BlockSpec((1, 1, TILE), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 128), lambda i: (i, 0),
+            pl.BlockSpec((1, 1, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((tiles, TILE), jnp.float32),
-            jax.ShapeDtypeStruct((tiles, 128), jnp.float32),
+            jax.ShapeDtypeStruct((tiles, 1, TILE), jnp.float32),
+            jax.ShapeDtypeStruct((tiles, 1, 128), jnp.float32),
         ),
         interpret=interpret,
     )(params, px)
-    return rho_new.reshape(-1), cost[:, 0].sum()
+    return rho_new.reshape(-1), cost[:, 0, 0].sum()

@@ -40,8 +40,9 @@ def _score_kernel(hyp_ref, px_ref, out_ref, *, tol: float, n_hyp: int):
     alpha = px_ref[4, :]
     alpha_k = px_ref[5, :]
     valid = px_ref[6, :]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (2, n_hyp), 1)
 
-    def body(h, _):
+    def body(h, acc):
         vx = hyp_ref[h, 0]
         vy = hyp_ref[h, 1]
         vz = hyp_ref[h, 2]
@@ -66,11 +67,17 @@ def _score_kernel(hyp_ref, px_ref, out_ref, *, tol: float, n_hyp: int):
         ey = uy - beta * (ay * rho + by)
         err = jnp.sqrt(ex * ex + ey * ey)
         inl = (err < tol) & (valid > 0.5)
-        out_ref[0, 0, h] = jnp.sum(inl.astype(jnp.float32))
-        out_ref[0, 1, h] = jnp.sum(jnp.where(inl, err, jnp.float32(0.0)))
-        return 0
+        num = jnp.sum(inl.astype(jnp.float32))
+        esum = jnp.sum(jnp.where(inl, err, jnp.float32(0.0)))
+        # Mosaic forbids scalar stores: accumulate via a one-hot lane mask
+        # (row 0 = counts, row 1 = error sums).
+        row = jax.lax.broadcasted_iota(jnp.int32, (2, n_hyp), 0)
+        upd = jnp.where(row == 0, num, esum)
+        return acc + jnp.where(lane == h, upd, jnp.float32(0.0))
 
-    jax.lax.fori_loop(0, n_hyp, body, 0)
+    acc = jax.lax.fori_loop(0, n_hyp, body,
+                            jnp.zeros((2, n_hyp), jnp.float32))
+    out_ref[0, :, :] = acc
 
 
 @functools.partial(jax.jit, static_argnames=("tol", "interpret"))

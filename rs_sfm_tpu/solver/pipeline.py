@@ -91,7 +91,8 @@ def estimate_from_flow(
     rr: RansacResult = ransac(
         coords, flow_n, alpha, alpha_k, valid,
         key=key, use_k=use_k, trials=cfg.ransac_trials,
-        tolerance=cfg.ransac_tol, chunk=cfg.ransac_chunk)
+        tolerance=cfg.ransac_tol, chunk=cfg.ransac_chunk,
+        engine=cfg.ransac_engine if axis_name is None else "xla")
 
     if cfg.use_refinement:
         if cfg.refine_engine == "pallas" and axis_name is None:

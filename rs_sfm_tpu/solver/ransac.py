@@ -102,6 +102,7 @@ def ransac(
     tolerance: float,
     chunk: int = 64,
     k_mode: str = "score",
+    engine: str = "xla",
     compat_negate_k: bool = False,
 ) -> RansacResult:
     """Batched RANSAC (reference minimal::ransac, src/minimal.cc:209-306).
@@ -154,25 +155,44 @@ def ransac(
         trials_eff = trials
     trials = trials_eff
 
-    pad = (-trials) % chunk
-    if pad:
-        w_all = jnp.concatenate([w_all, jnp.zeros((pad, 3), w_all.dtype)])
-        v_all = jnp.concatenate([v_all, jnp.zeros((pad, 3), v_all.dtype)])
-        k_all = jnp.concatenate([k_all, jnp.zeros((pad,), k_all.dtype)])
-    w_ch = w_all.reshape(-1, chunk, 3)
-    v_ch = v_all.reshape(-1, chunk, 3)
-    k_ch = k_all.reshape(-1, chunk)
+    if engine == "pallas":
+        # Fused VMEM-resident scoring kernel: all hypotheses in one pass
+        # (float32; the final best-hypothesis rescoring below stays exact in
+        # the working dtype).
+        from rs_sfm_tpu.ops.pallas.score import (pack_hyps, pack_pixels,
+                                                 score_hypotheses_pallas)
 
-    def score_chunk(carry, vwk):
-        v_c, w_c, k_c = vwk
-        num, ierr, _, _ = _score_hypotheses(
-            coords, flow, alpha, alpha_k, valid_mask, v_c, w_c, k_c, tolerance)
-        return carry, (num, ierr)
+        px = pack_pixels(coords, flow, alpha, alpha_k, valid_mask)
+        hy = pack_hyps(v_all, w_all, k_all)
+        nums_f, ierrs = score_hypotheses_pallas(px, hy, float(tolerance))
+        nums = nums_f.astype(jnp.int32)
+        ierrs = ierrs.astype(coords.dtype)
+    else:
+        pad = (-trials) % chunk
+        if pad:
+            w_all_p = jnp.concatenate(
+                [w_all, jnp.zeros((pad, 3), w_all.dtype)])
+            v_all_p = jnp.concatenate(
+                [v_all, jnp.zeros((pad, 3), v_all.dtype)])
+            k_all_p = jnp.concatenate(
+                [k_all, jnp.zeros((pad,), k_all.dtype)])
+        else:
+            w_all_p, v_all_p, k_all_p = w_all, v_all, k_all
+        w_ch = w_all_p.reshape(-1, chunk, 3)
+        v_ch = v_all_p.reshape(-1, chunk, 3)
+        k_ch = k_all_p.reshape(-1, chunk)
 
-    _, (nums, ierrs) = jax.lax.scan(
-        score_chunk, None, (v_ch, w_ch, k_ch))
-    nums = nums.reshape(-1)[:trials]
-    ierrs = ierrs.reshape(-1)[:trials]
+        def score_chunk(carry, vwk):
+            v_c, w_c, k_c = vwk
+            num, ierr, _, _ = _score_hypotheses(
+                coords, flow, alpha, alpha_k, valid_mask, v_c, w_c, k_c,
+                tolerance)
+            return carry, (num, ierr)
+
+        _, (nums, ierrs) = jax.lax.scan(
+            score_chunk, None, (v_ch, w_ch, k_ch))
+        nums = nums.reshape(-1)[:trials]
+        ierrs = ierrs.reshape(-1)[:trials]
     nums = jnp.where(valid_h, nums, -1)
 
     # Lexicographic (num desc, err asc) via composite score; error sums are

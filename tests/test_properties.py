@@ -70,3 +70,22 @@ def test_pipeline_deterministic_per_key():
     # actually matters), though estimates stay consistent.
     assert not np.array_equal(np.asarray(a.inlier_mask),
                               np.asarray(c.inlier_mask)) or True
+
+
+def test_projection_roundtrip():
+    from rs_sfm_tpu.geom.diagnostics import projection_roundtrip_error
+    from rs_sfm_tpu.geom.rspose import scanline_poses
+
+    intr = default_intrinsics(32, 32)
+    r, t = scanline_poses(jnp.asarray([0.1, -0.05, 0.08]),
+                          jnp.asarray([0.003, -0.002, 0.004]),
+                          0.0, 32, 0.9, dtype=jnp.float64)
+    # camera_to_world uses Rᵀ as the rotation inverse (the reference's
+    # convention, src/rsframe.cc:712-736); with first-order R = I + βŵ the
+    # roundtrip error floor is O((βω)²·f) — sub-millipixel here, not zero.
+    err = float(projection_roundtrip_error(32, 32, intr, r, t))
+    assert err < 5e-3, err
+    # With zero rotation the roundtrip is exact.
+    r0, t0 = scanline_poses(jnp.asarray([0.1, -0.05, 0.08]),
+                            jnp.zeros(3), 0.0, 32, 0.9, dtype=jnp.float64)
+    assert float(projection_roundtrip_error(32, 32, intr, r0, t0)) < 1e-9
