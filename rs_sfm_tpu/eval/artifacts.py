@@ -13,7 +13,7 @@ import os
 import numpy as np
 
 
-def _imwrite(path, arr):
+def imwrite(path, arr):
     import imageio.v3 as iio
 
     iio.imwrite(path, arr)
@@ -65,13 +65,13 @@ def save_single_run_artifacts(out_dir, *, flow_px, rs_image, depth_map,
     from rs_sfm_tpu.flow.viz import flow_arrows, flow_to_color
 
     os.makedirs(out_dir, exist_ok=True)
-    _imwrite(os.path.join(out_dir, "optical_flow.png"),
+    imwrite(os.path.join(out_dir, "optical_flow.png"),
              flow_to_color(flow_px))
-    _imwrite(os.path.join(out_dir, "optical_flow_arrow.png"),
+    imwrite(os.path.join(out_dir, "optical_flow_arrow.png"),
              flow_arrows(to_uint8(rs_image), np.asarray(flow_px)))
-    _imwrite(os.path.join(out_dir, "MinimalDepth.png"),
+    imwrite(os.path.join(out_dir, "MinimalDepth.png"),
              depth_image(depth_map))
-    _imwrite(os.path.join(out_dir, "backprojection.png"),
+    imwrite(os.path.join(out_dir, "backprojection.png"),
              to_uint8(gs_image))
     write_ply(os.path.join(out_dir, "point_cloud.ply"),
               np.asarray(coords_3d), to_uint8(rs_image),

@@ -12,7 +12,6 @@ time-seeded and noisy; ours is deterministic per key).
 
 from __future__ import annotations
 
-import dataclasses
 import os
 from typing import NamedTuple, Optional
 
@@ -55,9 +54,12 @@ def compute_flow(pair: PairData, use_deep_flow: bool = False,
     if use_deep_flow:
         from rs_sfm_tpu.flow.dense import dense_flow
 
-        i1 = jnp.asarray(pair.frame1.rs_image, dtype=dtype) / 255.0
-        i2 = jnp.asarray(pair.frame2.rs_image, dtype=dtype) / 255.0
-        return dense_flow(i1, i2)
+        def unit(img):
+            arr = jnp.asarray(img, dtype=dtype)
+            return arr / 255.0 if np.asarray(img).dtype == np.uint8 else arr
+
+        return dense_flow(unit(pair.frame1.rs_image),
+                          unit(pair.frame2.rs_image))
     if pair.frame1.rs_unproject is None:
         raise ValueError("ground-truth flow needs unprojection maps; "
                          "use use_deep_flow=True for real pairs")
@@ -140,7 +142,7 @@ def evaluate_velocities(
 
         if image_path:
             os.makedirs(image_path, exist_ok=True)
-            artifacts._imwrite(
+            artifacts.imwrite(
                 os.path.join(image_path, f"depth_{run}.png"),
                 artifacts.depth_image(res.depth_map))
 

@@ -38,6 +38,10 @@ class DenseFlowConfig(NamedTuple):
     gamma_grad: float = 0.7    # gradient-constancy weight
     eps: float = 1e-3          # Charbonnier epsilon
     median: bool = True        # 3x3 median filter between warps
+    # Structure-texture decomposition: run the data term on the texture
+    # component I − α·blur(I), suppressing illumination changes and shadows
+    # (the standard TV-L1/DeepFlow-class preprocessing for real images).
+    struct_texture: float = 0.0  # 0 = off; typical 0.8-0.95 for real pairs
 
 
 def _to_gray(img):
@@ -201,6 +205,9 @@ def dense_flow(image1, image2, cfg: DenseFlowConfig = DenseFlowConfig()):
     """
     i1 = _to_gray(jnp.asarray(image1))
     i2 = _to_gray(jnp.asarray(image2))
+    if cfg.struct_texture > 0.0:
+        i1 = i1 - cfg.struct_texture * _gauss_blur(_gauss_blur(i1))
+        i2 = i2 - cfg.struct_texture * _gauss_blur(_gauss_blur(i2))
     h, w = i1.shape
 
     # Pyramid (level 0 = full resolution).

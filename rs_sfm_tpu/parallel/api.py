@@ -47,8 +47,7 @@ def estimate_pairs_batched(mesh: Mesh, intr: Intrinsics, gamma,
     `pairs` axis size, H by the `pixels` axis size.
     """
 
-    @functools.partial(jax.jit,
-                       static_argnames=())
+    @jax.jit
     def run(flow_batch, keys):
         flow_batch = jax.lax.with_sharding_constraint(
             flow_batch,

@@ -131,7 +131,34 @@ def backproject(image, depth_map, poses_r, poses_t, intr: Intrinsics,
     src_depth = jnp.where(write, cam0[..., 2], jnp.inf).reshape(-1)
     colors = image.reshape(n, 3)
 
-    if method == "sort":
+    if method == "packed":
+        # One scatter-min on a packed (quantized depth | source id) int32 key
+        # + one gather: the winner per target pixel falls out of a single
+        # atomic-free min, ties broken by lowest source id.
+        src_bits = (n - 1).bit_length()
+        depth_bits = 30 - src_bits
+        if depth_bits < 4:
+            raise ValueError(f"image too large for packed z-buffer: {n}")
+        levels = 1 << depth_bits
+        finite = jnp.isfinite(src_depth)
+        dvals = jnp.where(finite, src_depth, 0.0)
+        dmin = jnp.min(jnp.where(finite, dvals, jnp.inf))
+        dmax = jnp.max(jnp.where(finite, dvals, -jnp.inf))
+        span = jnp.maximum(dmax - dmin, 1e-12)
+        qd = jnp.clip(((dvals - dmin) / span * (levels - 1)).astype(jnp.int32),
+                      0, levels - 1)
+        sentinel = jnp.int32(2 ** 31 - 1)
+        src_ids = jnp.arange(n, dtype=jnp.int32)
+        packed = jnp.where(finite & (flat_idx < n),
+                           qd * (1 << src_bits) + src_ids, sentinel)
+        buf = jnp.full((n + 1,), sentinel, dtype=jnp.int32)
+        buf = buf.at[flat_idx].min(packed)[:n]
+        hit = buf != sentinel
+        winner = jnp.where(hit, buf & ((1 << src_bits) - 1), 0)
+        gs_image = jnp.where(hit[:, None], colors[winner],
+                             jnp.zeros_like(colors)).reshape(h, w_cols, 3)
+        scattered = hit.reshape(h, w_cols)
+    elif method == "sort":
         gs_flat, hit = _resolve_sort(flat_idx.astype(jnp.int32),
                                      src_depth.astype(jnp.float32), colors, n)
         gs_image = gs_flat.reshape(h, w_cols, 3)

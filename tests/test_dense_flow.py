@@ -74,3 +74,25 @@ def test_pipeline_from_dense_flow():
     # only coarse motion recovery is achievable at this resolution.
     assert vang < 0.15, vang
     assert np.linalg.norm(np.asarray(res.w) - w_true) < 1e-2
+
+
+def test_struct_texture_handles_illumination_change():
+    """A global gain/offset change between frames (common in real video)
+    breaks raw brightness constancy; structure-texture preprocessing should
+    keep the flow usable."""
+    pair, gt = _pair_and_gt([0.12, -0.05, 0.0], [0.0, 0.0, 0.0])
+    i1 = pair.frame1.rs_image.astype(jnp.float32)
+    i2 = jnp.clip(pair.frame2.rs_image.astype(jnp.float32) * 1.25 + 0.06,
+                  0.0, 1.0)
+    hit = np.asarray(pair.frame1.rs_depth) > 0
+    inner = np.zeros_like(hit)
+    inner[8:-8, 8:-8] = True
+    m = hit & inner
+
+    est_raw = np.asarray(dense_flow(i1, i2))
+    est_st = np.asarray(dense_flow(i1, i2,
+                                   DenseFlowConfig(struct_texture=0.9)))
+    epe_raw = np.median(np.linalg.norm(est_raw - gt, axis=-1)[m])
+    epe_st = np.median(np.linalg.norm(est_st - gt, axis=-1)[m])
+    assert epe_st < 1.0, epe_st
+    assert epe_st <= epe_raw + 0.05

@@ -146,3 +146,17 @@ def test_flow_consistency_check():
         jnp.zeros_like(flow), hit))
     assert err_true < 0.5 * err_zero
     assert err_true < 0.05
+
+
+def test_backproject_packed_matches_scatter():
+    pair, intr = _pair()
+    f1 = pair.frame1
+    r, t = scanline_poses(jnp.asarray(V), jnp.asarray(WROT), 0.0, H, GAMMA,
+                          dtype=jnp.float64)
+    a = backproject(f1.rs_image, f1.rs_depth, r, t, intr, method="packed")
+    b = backproject(f1.rs_image, f1.rs_depth, r, t, intr, method="scatter")
+    np.testing.assert_array_equal(np.asarray(a.scattered),
+                                  np.asarray(b.scattered))
+    mism = (np.abs(np.asarray(a.gs_image) - np.asarray(b.gs_image))
+            .max(axis=-1) > 1e-6).mean()
+    assert mism < 0.01, mism
