@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 
 class DenseFlowConfig(NamedTuple):
-    levels: int = 5            # pyramid levels (auto-capped by image size)
+    levels: int = 6            # pyramid levels (auto-capped by image size)
     warps: int = 3             # warping iterations per level
     iters: int = 60            # Jacobi sweeps per warp
     smoothness: float = 0.08   # λ: smoothness weight

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE = 2048  # pixels per grid step (8 fields x 2048 f32 = 64 KB in VMEM)
+TILE = 16384  # pixels per grid step (8 fields x 16384 f32 = 512 KB in VMEM)
 
 
 def _score_kernel(hyp_ref, px_ref, out_ref, *, tol: float, n_hyp: int):

@@ -10,15 +10,14 @@ deterministic under any sharding.  Void pixels (RGB(1,1,1) mask — exact
 match on the uint8 value 1 — src/rsframe.cc:815) and zero-depth pixels are
 skipped.
 
-Two conflict-resolution engines (measured at full-HD on TPU v5e: scatter
-~0.15 s, sort ~0.35 s — XLA's TPU sort is slower than its scatter-min, so
-scatter is the default; sort remains as the bitwise-reproducible alternative
-and is faster on some backends):
-  * "scatter" (default): two-pass scatter-min on exact float depths, ties
-    broken by lowest source index.
-  * "sort": scatter-free z-buffer — pack (target index, quantized depth)
-    into one int32 key, stable-sort once, then binary-search each output
-    pixel for its run start.
+Three conflict-resolution engines (full-HD TPU v5e timings):
+  * "packed" (default, 0.056 s): ONE scatter-min on a packed
+    (quantized depth | source id) int32 key + one gather — the winner per
+    target falls out of a single min, ties by lowest source id.
+  * "scatter" (0.178 s): two-pass scatter-min on exact float depths —
+    the bit-exact-depth reference implementation.
+  * "sort" (0.35 s): scatter-free stable-sort + binary search; useful on
+    backends where scatter is the slow path.
 """
 
 from __future__ import annotations
@@ -86,7 +85,7 @@ def _resolve_sort(flat_idx, src_depth, colors, n, depth_bits: int = 9):
 
 def backproject(image, depth_map, poses_r, poses_t, intr: Intrinsics,
                 *, use_fy: bool = True, use_scanline_pose: bool = True,
-                method: str = "scatter") -> BackprojectResult:
+                method: str = "packed") -> BackprojectResult:
     """Rectify an RS image given per-pixel depth and per-scanline poses.
 
     Args:
