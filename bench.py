@@ -23,7 +23,19 @@ import numpy as np
 
 
 def main():
+    import os
+
     import jax
+
+    # Persistent compilation cache: first-ever compile of this graph takes
+    # minutes over a remote-compile tunnel; subsequent processes reuse it.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from rs_sfm_tpu.config import PipelineConfig

@@ -73,6 +73,11 @@ class PipelineConfig:
     # "pallas" = fused TPU kernels (float32, single device).
     refine_engine: str = "xla"
     ransac_engine: str = "xla"
+    # Two-stage RANSAC scoring: rank hypotheses on this many stratified
+    # pixels, full-score only the top ransac_prescore_keep (0 = score all
+    # hypotheses on all pixels, the reference's behavior).
+    ransac_prescore_subsample: int = 0
+    ransac_prescore_keep: int = 16
     # Maximum hypotheses scored at once (memory control: trials are processed
     # in chunks of this size; each chunk materializes a (chunk, N) residual).
     ransac_chunk: int = 64

@@ -92,7 +92,9 @@ def estimate_from_flow(
         coords, flow_n, alpha, alpha_k, valid,
         key=key, use_k=use_k, trials=cfg.ransac_trials,
         tolerance=cfg.ransac_tol, chunk=cfg.ransac_chunk,
-        engine=cfg.ransac_engine if axis_name is None else "xla")
+        engine=cfg.ransac_engine if axis_name is None else "xla",
+        prescore_subsample=cfg.ransac_prescore_subsample,
+        prescore_keep=cfg.ransac_prescore_keep)
 
     if cfg.use_refinement:
         if cfg.refine_engine == "pallas" and axis_name is None:

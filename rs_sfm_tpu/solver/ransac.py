@@ -103,6 +103,8 @@ def ransac(
     chunk: int = 64,
     k_mode: str = "score",
     engine: str = "xla",
+    prescore_subsample: int = 0,
+    prescore_keep: int = 16,
     compat_negate_k: bool = False,
 ) -> RansacResult:
     """Batched RANSAC (reference minimal::ransac, src/minimal.cc:209-306).
@@ -124,6 +126,12 @@ def ransac(
         real root into its own scored hypothesis — strictly stronger, since
         on a minimal sample every root interpolates the 9 constraints and
         only full-set scoring identifies the physical one.
+      prescore_subsample: if > 0, two-stage scoring: rank all hypotheses on
+        a stratified pixel subsample of this size, then full-score only the
+        best `prescore_keep` — an O(T·N) → O(T·S + K·N) reduction.  The
+        winning hypothesis is still scored exactly on all pixels; only the
+        shortlist selection is approximate.
+      prescore_keep: shortlist size for the full-scoring stage.
 
     Returns:
       RansacResult for the lexicographically best hypothesis.
@@ -154,6 +162,40 @@ def ransac(
         valid_h = jnp.ones((trials,), dtype=bool)
         trials_eff = trials
     trials = trials_eff
+
+    if prescore_subsample and prescore_subsample < n:
+        # Stage 1: rank on a stratified subsample (same fixed stride for all
+        # hypotheses — differences cancel in the ranking).
+        stride = max(n // prescore_subsample, 1)
+        sub = (jnp.arange(prescore_subsample) * stride) % n
+        c_s, f_s = coords[sub], flow[sub]
+        a_s, ak_s, v_s = alpha[sub], alpha_k[sub], valid_mask[sub]
+        pad = (-trials) % chunk
+        w_p = jnp.concatenate([w_all, jnp.zeros((pad, 3), w_all.dtype)])
+        v_p = jnp.concatenate([v_all, jnp.zeros((pad, 3), v_all.dtype)])
+        k_p = jnp.concatenate([k_all, jnp.zeros((pad,), k_all.dtype)])
+
+        def pre_chunk(carry, vwk):
+            v_c, w_c, k_c = vwk
+            num, ierr, _, _ = _score_hypotheses(
+                c_s, f_s, a_s, ak_s, v_s, v_c, w_c, k_c, tolerance)
+            return carry, (num, ierr)
+
+        _, (pn, pe) = jax.lax.scan(
+            pre_chunk, None,
+            (v_p.reshape(-1, chunk, 3), w_p.reshape(-1, chunk, 3),
+             k_p.reshape(-1, chunk)))
+        pn = jnp.where(valid_h, pn.reshape(-1)[:trials], -1)
+        pe = pe.reshape(-1)[:trials]
+        big_s = jnp.asarray(prescore_subsample * tolerance + 1.0, pe.dtype)
+        pre_score = pn.astype(pe.dtype) * big_s - jnp.where(
+            jnp.isfinite(pe), pe, big_s)
+        top = jax.lax.top_k(pre_score, prescore_keep)[1]
+        w_all = w_all[top]
+        v_all = v_all[top]
+        k_all = k_all[top]
+        valid_h = valid_h[top]
+        trials = prescore_keep
 
     if engine == "pallas":
         # Fused VMEM-resident scoring kernel: all hypotheses in one pass

@@ -142,3 +142,22 @@ def test_gs_limit():
     v_unit = V_TRUE / np.linalg.norm(V_TRUE)
     vang = np.arccos(np.clip(abs(v_est @ v_unit) / np.linalg.norm(v_est), -1, 1))
     assert vang < 0.05
+
+
+def test_prescore_matches_full_scoring():
+    """Two-stage RANSAC picks an equivalent winner on clean data."""
+    pair, intr = _pair()
+    f1, f2 = pair.frame1, pair.frame2
+    flow_px = true_flow(f1.rs_unproject, f2.poses_r, f2.poses_t, intr)
+    full = PipelineConfig(ransac_trials=64, ransac_tol=0.01,
+                          use_refinement=False)
+    fast = PipelineConfig(ransac_trials=64, ransac_tol=0.01,
+                          use_refinement=False,
+                          ransac_prescore_subsample=1024,
+                          ransac_prescore_keep=8)
+    a = estimate_from_flow(flow_px, intr, GAMMA, full, jax.random.PRNGKey(3))
+    b = estimate_from_flow(flow_px, intr, GAMMA, fast, jax.random.PRNGKey(3))
+    va = np.asarray(a.v) / np.linalg.norm(a.v)
+    vb = np.asarray(b.v) / np.linalg.norm(b.v)
+    assert np.arccos(np.clip(abs(va @ vb), -1, 1)) < 5e-3
+    assert abs(int(a.num_inliers) - int(b.num_inliers)) < 0.05 * H * W
