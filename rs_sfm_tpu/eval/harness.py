@@ -30,6 +30,15 @@ from rs_sfm_tpu.geom.rspose import scanline_poses
 from rs_sfm_tpu.rectify.backproject import backproject
 from rs_sfm_tpu.solver.pipeline import estimate_from_flow
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("intr", "gamma", "cfg"))
+def _estimate_jit(flow_px, intr, gamma, cfg, key):
+    """Jitted pipeline (intrinsics/config are hashable frozen dataclasses);
+    compiled once per (shape, config) across evaluations and sweep tasks."""
+    return estimate_from_flow(flow_px, intr, gamma, cfg, key)
+
 
 class VelocityErrors(NamedTuple):
     """Per-run arrays + means (reference VelocityErrors,
@@ -115,7 +124,7 @@ def evaluate_velocities(
     ws, vs, ks, ew, ev, er, ni = [], [], [], [], [], [], []
     keys = jax.random.split(key, num_evaluations)
     for run, k_i in enumerate(keys):
-        res = estimate_from_flow(flow_px, pair.intrinsics, gamma, cfg, k_i)
+        res = _estimate_jit(flow_px, pair.intrinsics, gamma, cfg, k_i)
         ws.append(np.asarray(res.w))
         vs.append(np.asarray(res.v))
         ks.append(float(res.k))
