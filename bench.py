@@ -52,7 +52,13 @@ def main():
                          refine_iterations=50,
                          # Fused Pallas LM kernels: ~2.2x the XLA refine
                          # (90 ms vs 202 ms for 50 iterations at full-HD).
-                         refine_engine="pallas")
+                         refine_engine="pallas",
+                         # Two-stage scoring: rank all 256 hypotheses on a
+                         # 128k-pixel stratified subsample, full-score the
+                         # top 16 (the winner is still scored exactly on all
+                         # pixels).  7.2 pairs/s measured standalone.
+                         ransac_prescore_subsample=131072,
+                         ransac_prescore_keep=16)
 
     flow = jnp.asarray(_make_flow(h, w))
     image = jnp.asarray(
@@ -90,8 +96,8 @@ def main():
     result = {
         "metric": "rs_sfm_fullhd_pairs_per_s_per_chip",
         "value": round(pairs_per_s, 4),
-        "unit": "frame-pairs/s (1920x1080, 256-trial RANSAC + 50-iter "
-                "Schur-LM refine + rectify; GT-flow path)",
+        "unit": "frame-pairs/s (1920x1080, 256-hypothesis two-stage RANSAC + "
+                "50-iter Schur-LM refine + rectify; GT-flow path)",
         "vs_baseline": round(pairs_per_s / baseline_pairs_per_s, 1),
     }
     print(json.dumps(result))

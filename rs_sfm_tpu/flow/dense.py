@@ -42,6 +42,10 @@ class DenseFlowConfig(NamedTuple):
     # component I − α·blur(I), suppressing illumination changes and shadows
     # (the standard TV-L1/DeepFlow-class preprocessing for real images).
     struct_texture: float = 0.0  # 0 = off; typical 0.8-0.95 for real pairs
+    # Discrete matching initialization at the coarsest level (DeepFlow's
+    # matching-term role): exhaustive ±radius search on box-filtered SSD.
+    # Captures displacements up to radius·2^levels pixels at full resolution.
+    init_search_radius: int = 8  # 0 = pure variational
 
 
 def _to_gray(img):
@@ -125,6 +129,38 @@ def _median3(x):
     for a, b in pairs:
         v[a], v[b] = cas(v[a], v[b])
     return v[4]
+
+
+def _coarse_init(i1, i2, radius: int):
+    """Exhaustive integer-displacement search at the coarsest level.
+
+    For every pixel, pick the displacement in [−radius, radius]² minimizing
+    the 5x5 box-filtered squared difference — the TPU-native stand-in for
+    DeepFlow's matching term (dense HOG matches): a static (2r+1)² loop of
+    rolls and elementwise ops.
+    """
+
+    def box5(x):
+        for axis in (0, 1):
+            x = (jnp.roll(x, -2, axis) + jnp.roll(x, -1, axis) + x
+                 + jnp.roll(x, 1, axis) + jnp.roll(x, 2, axis))
+        return x
+
+    best_cost = jnp.full(i1.shape, jnp.inf, i1.dtype)
+    best_u = jnp.zeros(i1.shape, i1.dtype)
+    best_v = jnp.zeros(i1.shape, i1.dtype)
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            shifted = jnp.roll(i2, (-dy, -dx), (0, 1))
+            cost = box5((shifted - i1) ** 2)
+            better = cost < best_cost
+            best_cost = jnp.where(better, cost, best_cost)
+            best_u = jnp.where(better, float(dx), best_u)
+            best_v = jnp.where(better, float(dy), best_v)
+    init = jnp.stack([best_u, best_v], axis=-1)
+    # Median-clean the discrete field (kills isolated mismatches).
+    return jnp.stack([_median3(init[..., 0]), _median3(init[..., 1])],
+                     axis=-1)
 
 
 def _level_solve(i1, i2, flow, cfg: DenseFlowConfig):
@@ -222,7 +258,10 @@ def dense_flow(image1, image2, cfg: DenseFlowConfig = DenseFlowConfig()):
         p1.append(_downsample(p1[-1]))
         p2.append(_downsample(p2[-1]))
 
-    flow = jnp.zeros(p1[-1].shape + (2,), i1.dtype)
+    if cfg.init_search_radius > 0:
+        flow = _coarse_init(p1[-1], p2[-1], cfg.init_search_radius)
+    else:
+        flow = jnp.zeros(p1[-1].shape + (2,), i1.dtype)
     for lvl in range(max_levels - 1, -1, -1):
         if lvl != max_levels - 1:
             flow = _upsample_flow(flow, p1[lvl].shape)

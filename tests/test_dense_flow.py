@@ -96,3 +96,25 @@ def test_struct_texture_handles_illumination_change():
     epe_st = np.median(np.linalg.norm(est_st - gt, axis=-1)[m])
     assert epe_st < 1.0, epe_st
     assert epe_st <= epe_raw + 0.05
+
+
+def test_large_displacement():
+    """The discrete coarse-level search captures motions far beyond the
+    variational linearization range (DeepFlow's matching-term role)."""
+    pair, gt = _pair_and_gt([1.5, 0.2, 0.0], [0.0, 0.0, 0.0])
+    hit = np.asarray(pair.frame1.rs_depth) > 0
+    inner = np.zeros_like(hit)
+    inner[12:-12, 12:-12] = True
+    m = hit & inner
+    mag = np.linalg.norm(gt, axis=-1)[m].mean()
+    assert mag > 15.0, mag  # genuinely large displacement
+
+    i1 = pair.frame1.rs_image.astype(jnp.float32)
+    i2 = pair.frame2.rs_image.astype(jnp.float32)
+    with_init = np.asarray(dense_flow(i1, i2))
+    without = np.asarray(dense_flow(i1, i2,
+                                    DenseFlowConfig(init_search_radius=0)))
+    epe_with = np.median(np.linalg.norm(with_init - gt, axis=-1)[m])
+    epe_without = np.median(np.linalg.norm(without - gt, axis=-1)[m])
+    assert epe_with < 1.5, (epe_with, mag)
+    assert epe_with <= epe_without
