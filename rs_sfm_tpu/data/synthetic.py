@@ -107,18 +107,42 @@ def castle_scene(dtype=jnp.float32) -> Scene:
     )
 
 
-def _texture(prim_id, a, b, base_color):
-    """Procedural texture: multi-scale stripes + soft checker per primitive.
+def _hash_noise(u, v, seed):
+    """Value noise on a texel grid: bilinear interpolation of a
+    sin-fract hash (non-repeating — periodic textures alias discrete
+    matching, the classic aperture failure)."""
 
-    Smooth but feature-rich (for dense flow estimators), bounded away from
-    both black and the RGB(1,1,1)/255 void sentinel.
+    def hash2(i, j):
+        s = jnp.sin(i * 12.9898 + j * 78.233 + seed) * 43758.5453
+        return s - jnp.floor(s)
+
+    iu = jnp.floor(u)
+    iv = jnp.floor(v)
+    fu = u - iu
+    fv = v - iv
+    # Smoothstep weights for C1 continuity.
+    fu = fu * fu * (3.0 - 2.0 * fu)
+    fv = fv * fv * (3.0 - 2.0 * fv)
+    h00 = hash2(iu, iv)
+    h10 = hash2(iu + 1.0, iv)
+    h01 = hash2(iu, iv + 1.0)
+    h11 = hash2(iu + 1.0, iv + 1.0)
+    return ((1 - fu) * (1 - fv) * h00 + fu * (1 - fv) * h10
+            + (1 - fu) * fv * h01 + fu * fv * h11)
+
+
+def _texture(prim_id, a, b, base_color):
+    """Procedural texture: multi-scale value noise + soft stripes.
+
+    Feature-rich and non-repeating (for dense-flow matching), bounded away
+    from both black and the RGB(1,1,1)/255 void sentinel.
     """
     phase = prim_id.astype(a.dtype)
+    n1 = _hash_noise(a * 9.0, b * 9.0, phase * 17.0) - 0.5
+    n2 = _hash_noise(a * 27.0, b * 27.0, phase * 31.0 + 5.0) - 0.5
     f1 = jnp.sin(2.0 * jnp.pi * (7.0 + 2.0 * phase) * a + phase * 1.7)
-    f2 = jnp.sin(2.0 * jnp.pi * (9.0 + 3.0 * phase) * b + phase * 0.9)
-    f3 = jnp.sin(2.0 * jnp.pi * 23.0 * (a + b) + phase)
     checker = jnp.sin(2.0 * jnp.pi * 3.0 * a) * jnp.sin(2.0 * jnp.pi * 3.0 * b)
-    mod = 0.22 * f1 + 0.22 * f2 + 0.12 * f3 + 0.18 * checker
+    mod = 0.34 * n1 + 0.22 * n2 + 0.10 * f1 + 0.10 * checker
     col = base_color * (0.75 + mod[..., None] * jnp.asarray(
         [1.0, 0.85, 0.7], dtype=a.dtype))
     return jnp.clip(col, 0.02, 0.98)

@@ -33,7 +33,8 @@ import jax.numpy as jnp
 class DenseFlowConfig(NamedTuple):
     levels: int = 6            # pyramid levels (auto-capped by image size)
     warps: int = 3             # warping iterations per level
-    iters: int = 60            # Jacobi sweeps per warp
+    iters: int = 20            # red-black SOR sweeps per warp
+    omega: float = 1.85        # SOR over-relaxation factor
     smoothness: float = 0.08   # λ: smoothness weight
     gamma_grad: float = 0.7    # gradient-constancy weight
     eps: float = 1e-3          # Charbonnier epsilon
@@ -42,10 +43,13 @@ class DenseFlowConfig(NamedTuple):
     # component I − α·blur(I), suppressing illumination changes and shadows
     # (the standard TV-L1/DeepFlow-class preprocessing for real images).
     struct_texture: float = 0.0  # 0 = off; typical 0.8-0.95 for real pairs
-    # Discrete matching initialization at the coarsest level (DeepFlow's
-    # matching-term role): exhaustive ±radius search on box-filtered SSD.
-    # Captures displacements up to radius·2^levels pixels at full resolution.
-    init_search_radius: int = 8  # 0 = pure variational
+    # Discrete matching (DeepFlow's matching-term role):
+    #  - exhaustive ±init_search_radius search at the coarsest level;
+    #  - warp-local ±refine_search_radius search at every non-finest level
+    #    (corrects coarse mismatches where texture is richer, DIS-style).
+    # Captures displacements up to ~radius·2^levels px at full resolution.
+    init_search_radius: int = 8   # 0 = pure variational
+    refine_search_radius: int = 4  # 0 = off
 
 
 def _to_gray(img):
@@ -146,20 +150,69 @@ def _coarse_init(i1, i2, radius: int):
                  + jnp.roll(x, 1, axis) + jnp.roll(x, 2, axis))
         return x
 
-    best_cost = jnp.full(i1.shape, jnp.inf, i1.dtype)
-    best_u = jnp.zeros(i1.shape, i1.dtype)
-    best_v = jnp.zeros(i1.shape, i1.dtype)
-    for dy in range(-radius, radius + 1):
-        for dx in range(-radius, radius + 1):
-            shifted = jnp.roll(i2, (-dy, -dx), (0, 1))
-            cost = box5((shifted - i1) ** 2)
-            better = cost < best_cost
-            best_cost = jnp.where(better, cost, best_cost)
-            best_u = jnp.where(better, float(dx), best_u)
-            best_v = jnp.where(better, float(dy), best_v)
-    init = jnp.stack([best_u, best_v], axis=-1)
+    # Match on locally mean-removed images: gain/offset robust at THIS
+    # level's scale, and immune to preprocessing (struct-texture high-pass
+    # leaves no coarse-level content to match on otherwise).
+    i1 = i1 - _gauss_blur(i1)
+    i2 = i2 - _gauss_blur(i2)
+    # One scanned body over all (2r+1)² displacements (an unrolled loop of
+    # static rolls makes XLA compile times explode); the shifted window
+    # comes from a dynamic slice of the edge-padded image.
+    padded = jnp.pad(i2, radius, mode="edge")
+    side = 2 * radius + 1
+    dys = jnp.repeat(jnp.arange(side), side)
+    dxs = jnp.tile(jnp.arange(side), side)
+
+    def body(carry, off):
+        best_cost, best_u, best_v = carry
+        dy, dx = off
+        shifted = jax.lax.dynamic_slice(padded, (dy, dx), i1.shape)
+        cost = box5((shifted - i1) ** 2)
+        better = cost < best_cost
+        best_cost = jnp.where(better, cost, best_cost)
+        best_u = jnp.where(better, (dx - radius).astype(i1.dtype), best_u)
+        best_v = jnp.where(better, (dy - radius).astype(i1.dtype), best_v)
+        return (best_cost, best_u, best_v), None
+
+    init_carry = (jnp.full(i1.shape, jnp.inf, i1.dtype),
+                  jnp.zeros(i1.shape, i1.dtype),
+                  jnp.zeros(i1.shape, i1.dtype))
+    (_, best_u, best_v), _ = jax.lax.scan(body, init_carry, (dys, dxs))
     # Median-clean the discrete field (kills isolated mismatches).
-    return jnp.stack([_median3(init[..., 0]), _median3(init[..., 1])],
+    return jnp.stack([_median3(best_u), _median3(best_v)], axis=-1)
+
+
+def _discrete_refine(i1, i2, flow, radius: int):
+    """Warp-local integer search: test flow + d for d ∈ [−radius, radius]²
+    and keep the best box-filtered SSD per pixel (on locally mean-removed
+    images — gain/offset robust)."""
+    i1 = i1 - _gauss_blur(i1)
+    i2 = i2 - _gauss_blur(i2)
+
+    def box5(x):
+        for axis in (0, 1):
+            x = (jnp.roll(x, -2, axis) + jnp.roll(x, -1, axis) + x
+                 + jnp.roll(x, 1, axis) + jnp.roll(x, 2, axis))
+        return x
+
+    side = 2 * radius + 1
+    dys = (jnp.repeat(jnp.arange(side), side) - radius).astype(i1.dtype)
+    dxs = (jnp.tile(jnp.arange(side), side) - radius).astype(i1.dtype)
+
+    def body(carry, off):
+        best_cost, best = carry
+        dy, dx = off
+        cand = flow + jnp.stack([jnp.full(i1.shape, dx, i1.dtype),
+                                 jnp.full(i1.shape, dy, i1.dtype)], axis=-1)
+        cost = box5((_warp(i2, cand) - i1) ** 2)
+        better = cost < best_cost
+        best_cost = jnp.where(better, cost, best_cost)
+        best = jnp.where(better[..., None], cand, best)
+        return (best_cost, best), None
+
+    init = (jnp.full(i1.shape, jnp.inf, i1.dtype), flow)
+    (_, best), _ = jax.lax.scan(body, init, (dys, dxs))
+    return jnp.stack([_median3(best[..., 0]), _median3(best[..., 1])],
                      axis=-1)
 
 
@@ -189,8 +242,13 @@ def _level_solve(i1, i2, flow, cfg: DenseFlowConfig):
         cgx = gtx - ixx * u0 - ixy * v0
         cgy = gty - ixy * u0 - iyy * v0
 
-        def jacobi(_, uv):
-            u, v = uv
+        ys = jnp.arange(i1.shape[0])[:, None]
+        xs = jnp.arange(i1.shape[1])[None, :]
+        checker = ((ys + xs) % 2).astype(i1.dtype)
+        omega = cfg.omega
+
+        def point_solve(u, v):
+            """Pointwise 2x2 solve given the current neighbor averages."""
             du = u - u0
             dv = v - v0
             # Lagged-diffusivity (Charbonnier') weights.
@@ -219,7 +277,19 @@ def _level_solve(i1, i2, flow, cfg: DenseFlowConfig):
             v_new = (a11 * b2 - a12 * b1) / det
             return u_new, v_new
 
-        u, v = jax.lax.fori_loop(0, cfg.iters, jacobi,
+        def sor(_, uv):
+            """Red-black Gauss-Seidel with over-relaxation: each color
+            updates against the other's fresh values — ~4x fewer sweeps
+            than Jacobi for the same residual."""
+            u, v = uv
+            for color in (0.0, 1.0):
+                u_s, v_s = point_solve(u, v)
+                mask = jnp.where(checker == color, omega, 0.0)
+                u = u + mask * (u_s - u)
+                v = v + mask * (v_s - v)
+            return u, v
+
+        u, v = jax.lax.fori_loop(0, cfg.iters, sor,
                                  (flow[..., 0], flow[..., 1]))
         flow = jnp.stack([u, v], axis=-1)
         if cfg.median:
@@ -265,5 +335,8 @@ def dense_flow(image1, image2, cfg: DenseFlowConfig = DenseFlowConfig()):
     for lvl in range(max_levels - 1, -1, -1):
         if lvl != max_levels - 1:
             flow = _upsample_flow(flow, p1[lvl].shape)
+        if lvl != 0 and cfg.refine_search_radius > 0:
+            flow = _discrete_refine(p1[lvl], p2[lvl], flow,
+                                    cfg.refine_search_radius)
         flow = _level_solve(p1[lvl], p2[lvl], flow, cfg)
     return flow
