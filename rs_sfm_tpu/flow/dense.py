@@ -50,6 +50,10 @@ class DenseFlowConfig(NamedTuple):
     # Captures displacements up to ~radius·2^levels px at full resolution.
     init_search_radius: int = 8   # 0 = pure variational
     refine_search_radius: int = 4  # 0 = off
+    # Apply the warp-local search only at levels whose min dimension is at
+    # most this (gather-heavy warps at near-full resolution cost seconds at
+    # full-HD; large displacements are locked in by the coarse levels).
+    refine_max_size: int = 192
 
 
 def _to_gray(img):
@@ -335,7 +339,8 @@ def dense_flow(image1, image2, cfg: DenseFlowConfig = DenseFlowConfig()):
     for lvl in range(max_levels - 1, -1, -1):
         if lvl != max_levels - 1:
             flow = _upsample_flow(flow, p1[lvl].shape)
-        if lvl != 0 and cfg.refine_search_radius > 0:
+        if (lvl != 0 and cfg.refine_search_radius > 0
+                and min(p1[lvl].shape) <= cfg.refine_max_size):
             flow = _discrete_refine(p1[lvl], p2[lvl], flow,
                                     cfg.refine_search_radius)
         flow = _level_solve(p1[lvl], p2[lvl], flow, cfg)
