@@ -21,7 +21,6 @@ test-suite do this).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

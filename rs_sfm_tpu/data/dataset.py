@@ -30,8 +30,6 @@ from typing import NamedTuple, Optional
 
 import numpy as np
 
-import jax.numpy as jnp
-
 from rs_sfm_tpu.geom.camera import Intrinsics
 
 

@@ -19,22 +19,17 @@ Two complementary paths:
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from rs_sfm_tpu.config import PipelineConfig
 from rs_sfm_tpu.geom.camera import Intrinsics
-from rs_sfm_tpu.solver.beta import beta_factor
 from rs_sfm_tpu.solver.depth import estimate_inverse_depth
 from rs_sfm_tpu.solver.flow_model import predict_flow
 from rs_sfm_tpu.solver.minimal import (calculate_velocities,
                                        calculate_velocities_all_k)
-from rs_sfm_tpu.solver.pipeline import (EstimationResult, estimate_from_flow,
-                                        prepare_flow_inputs)
+from rs_sfm_tpu.solver.pipeline import estimate_from_flow
 from rs_sfm_tpu.solver.refine import refine
 
 

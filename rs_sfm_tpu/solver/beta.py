@@ -12,9 +12,6 @@ and src/nonlinearRefinement.cc:36).  All inputs broadcast elementwise.
 
 from __future__ import annotations
 
-import jax.numpy as jnp
-
-
 def get_alpha(flow_y_px, rows, gamma):
     """α = 1 + γ·flow_y/H on pixel-unit vertical flow (src/minimal.cc:179-186)."""
     return 1.0 + gamma * flow_y_px / rows

@@ -28,7 +28,6 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from rs_sfm_tpu.solver.beta import beta_factor
 from rs_sfm_tpu.solver.depth import estimate_inverse_depth
 from rs_sfm_tpu.solver.flow_model import predict_flow
 from rs_sfm_tpu.solver.minimal import (calculate_velocities,

@@ -15,7 +15,7 @@ broken frame) must not poison the batch.  Every per-pair output carries an
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
