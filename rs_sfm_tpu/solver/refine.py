@@ -104,6 +104,7 @@ def refine(
     optimize_k: bool,
     iterations: int = 50,
     init_lambda: float = 1e-6,
+    rel_tol: float = 1e-8,
     axis_name: Optional[str] = None,
 ) -> RefineResult:
     """Schur-reduced LM refinement (reference nonLinearRefinement,
@@ -117,7 +118,9 @@ def refine(
       v0, w0, k0, rho0: initialization (RANSAC output; rho0 = ρ per pixel).
       optimize_k: include k as a free parameter (constant-acceleration mode;
         src/nonlinearRefinement.cc:221-223 freezes k otherwise).
-      iterations: LM iterations (Ceres default max is 50).
+      iterations: max LM iterations (Ceres default max is 50).
+      rel_tol: stop after an accepted step whose relative cost decrease is
+        below this (Ceres' function_tolerance analog); 0 disables.
       axis_name: mesh axis for psum when pixels are sharded (shard_map).
 
     Returns:
@@ -134,8 +137,8 @@ def refine(
 
     k_keep = jnp.asarray(1.0 if optimize_k else 0.0, dt)
 
-    def step(_, state):
-        v, w, k, rho, lam, cost = state
+    def step(state):
+        i, v, w, k, rho, lam, cost, done = state
         r, j_theta, j_rho = _residual_and_jac(
             coords, flow, alpha, alpha_k, v, w, k, rho)
         # Freeze k by zeroing its Jacobian column (δk solves to 0 below).
@@ -189,13 +192,19 @@ def refine(
 
         new_cost = cost_fn(v_new, w_new, k_new, rho_new)
         accept = (new_cost < cost) & jnp.isfinite(new_cost)
+        converged = accept & (cost - new_cost <= rel_tol * cost)
         v = jnp.where(accept, v_new, v)
         w = jnp.where(accept, w_new, w)
         k = jnp.where(accept, k_new, k)
         rho = jnp.where(accept, rho_new, rho)
         cost = jnp.where(accept, new_cost, cost)
         lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-12), lam * 4.0)
-        return v, w, k, rho, lam, cost
+        return i + 1, v, w, k, rho, lam, cost, done | converged
+
+    def cond(state):
+        i = state[0]
+        done = state[-1]
+        return (i < iterations) & ~done
 
     v0 = jnp.asarray(v0, dt)
     w0 = jnp.asarray(w0, dt)
@@ -203,7 +212,8 @@ def refine(
     rho0 = jnp.asarray(rho0, dt)
     lam0 = jnp.asarray(init_lambda, dt)
     cost0 = cost_fn(v0, w0, k0, rho0)
-    v, w, k, rho, _, cost = jax.lax.fori_loop(
-        0, iterations, step, (v0, w0, k0, rho0, lam0, cost0))
+    _, v, w, k, rho, _, cost, _ = jax.lax.while_loop(
+        cond, step,
+        (jnp.int32(0), v0, w0, k0, rho0, lam0, cost0, jnp.bool_(False)))
     return RefineResult(v=v, w=w, k=k, inv_depth=rho, cost=cost,
                         initial_cost=cost0)

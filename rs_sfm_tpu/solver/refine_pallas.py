@@ -31,6 +31,7 @@ def refine_pallas(
     optimize_k: bool,
     iterations: int = 50,
     init_lambda: float = 1e-6,
+    rel_tol: float = 1e-8,
     interpret: bool = False,
 ) -> RefineResult:
     """Drop-in Pallas variant of solver.refine.refine (single device)."""
@@ -51,8 +52,8 @@ def refine_pallas(
         return jnp.concatenate([
             v, w, k[None], lam[None], k_keep[None], delta]).astype(jnp.float32)
 
-    def step(_, state):
-        px, v, w, k, lam, cost = state
+    def step(state):
+        i, px, v, w, k, lam, cost, done = state
         params = make_params(v, w, k, lam)
         h_tt, g_t, _, schur_h, schur_g = lm_reduce(px, params,
                                                    interpret=interpret)
@@ -67,6 +68,7 @@ def refine_pallas(
         rho_new, cost_new = lm_update(px, params_b, interpret=interpret)
 
         accept = (cost_new < cost) & jnp.isfinite(cost_new)
+        converged = accept & (cost - cost_new <= rel_tol * cost)
         v = jnp.where(accept, v + delta[:3], v)
         w = jnp.where(accept, w + delta[3:6], w)
         k = jnp.where(accept, k + delta[6], k)
@@ -74,7 +76,7 @@ def refine_pallas(
         cost = jnp.where(accept, cost_new, cost)
         lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-12),
                         lam * 4.0).astype(jnp.float32)
-        return px, v, w, k, lam, cost
+        return i + 1, px, v, w, k, lam, cost, done | converged
 
     v = jnp.asarray(v0, jnp.float32)
     w = jnp.asarray(w0, jnp.float32)
@@ -83,8 +85,13 @@ def refine_pallas(
     # Initial cost from phase A (its cost slot is exact at delta = 0).
     _, _, cost0, _, _ = lm_reduce(px, make_params(v, w, k, lam),
                                   interpret=interpret)
-    px, v, w, k, lam, cost = jax.lax.fori_loop(
-        0, iterations, step, (px, v, w, k, lam, cost0))
+
+    def cond(state):
+        return (state[0] < iterations) & ~state[-1]
+
+    _, px, v, w, k, lam, cost, _ = jax.lax.while_loop(
+        cond, step,
+        (jnp.int32(0), px, v, w, k, lam, cost0, jnp.bool_(False)))
     rho = px[7, :n]
     return RefineResult(v=v, w=w, k=k, inv_depth=rho, cost=cost,
                         initial_cost=cost0)
