@@ -50,6 +50,10 @@ def main():
     gamma = 0.9
     cfg = PipelineConfig(ransac_trials=256, ransac_chunk=32,
                          refine_iterations=50,
+                         # Static trip count: the while_loop early-stop
+                         # variant hung the remote TPU compiler; this is
+                         # the proven-compilable configuration.
+                         refine_rel_tol=0.0,
                          # Fused Pallas LM kernels: ~2.2x the XLA refine
                          # (90 ms vs 202 ms for 50 iterations at full-HD).
                          refine_engine="pallas",

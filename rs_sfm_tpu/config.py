@@ -68,6 +68,9 @@ class PipelineConfig:
     use_global_shutter: bool = False
     use_refinement: bool = True
     refine_iterations: int = 50
+    # Early-stop tolerance (Ceres function_tolerance analog); 0 = fixed
+    # iteration count (leaner compile: static fori_loop).
+    refine_rel_tol: float = 1e-8
     # "xla" = portable implementation (any dtype, shard_map-ready);
     # "pallas" = fused TPU kernels (float32, single device).
     refine_engine: str = "xla"

@@ -103,13 +103,14 @@ def estimate_from_flow(
             ref = refine_pallas(
                 coords, flow_n, alpha, alpha_k, rr.inlier_mask,
                 rr.v, rr.w, rr.k, rr.inv_depth,
-                optimize_k=use_k, iterations=cfg.refine_iterations)
+                optimize_k=use_k, iterations=cfg.refine_iterations,
+                rel_tol=cfg.refine_rel_tol)
         else:
             ref = refine(
                 coords, flow_n, alpha, alpha_k, rr.inlier_mask,
                 rr.v, rr.w, rr.k, rr.inv_depth,
                 optimize_k=use_k, iterations=cfg.refine_iterations,
-                axis_name=axis_name)
+                rel_tol=cfg.refine_rel_tol, axis_name=axis_name)
         v, w, k, rho = ref.v, ref.w, ref.k, ref.inv_depth
         refine_cost = ref.cost
     else:

@@ -212,8 +212,12 @@ def refine(
     rho0 = jnp.asarray(rho0, dt)
     lam0 = jnp.asarray(init_lambda, dt)
     cost0 = cost_fn(v0, w0, k0, rho0)
-    _, v, w, k, rho, _, cost, _ = jax.lax.while_loop(
-        cond, step,
-        (jnp.int32(0), v0, w0, k0, rho0, lam0, cost0, jnp.bool_(False)))
+    init = (jnp.int32(0), v0, w0, k0, rho0, lam0, cost0, jnp.bool_(False))
+    if rel_tol == 0.0:
+        # Static trip count (no early stop): fori_loop compiles leaner.
+        _, v, w, k, rho, _, cost, _ = jax.lax.fori_loop(
+            0, iterations, lambda _, s: step(s), init)
+    else:
+        _, v, w, k, rho, _, cost, _ = jax.lax.while_loop(cond, step, init)
     return RefineResult(v=v, w=w, k=k, inv_depth=rho, cost=cost,
                         initial_cost=cost0)

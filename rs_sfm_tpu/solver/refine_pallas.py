@@ -89,9 +89,13 @@ def refine_pallas(
     def cond(state):
         return (state[0] < iterations) & ~state[-1]
 
-    _, px, v, w, k, lam, cost, _ = jax.lax.while_loop(
-        cond, step,
-        (jnp.int32(0), px, v, w, k, lam, cost0, jnp.bool_(False)))
+    init = (jnp.int32(0), px, v, w, k, lam, cost0, jnp.bool_(False))
+    if rel_tol == 0.0:
+        # Static trip count (no early stop): fori_loop compiles leaner.
+        _, px, v, w, k, lam, cost, _ = jax.lax.fori_loop(
+            0, iterations, lambda _, s: step(s), init)
+    else:
+        _, px, v, w, k, lam, cost, _ = jax.lax.while_loop(cond, step, init)
     rho = px[7, :n]
     return RefineResult(v=v, w=w, k=k, inv_depth=rho, cost=cost,
                         initial_cost=cost0)
