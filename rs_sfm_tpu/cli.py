@@ -135,9 +135,29 @@ def cmd_single_run(args):
         use_refinement=not args.no_refinement)
     gamma = args.gamma if args.gamma is not None else (pair.gamma or 0.9)
 
-    flow_px = compute_flow(pair, use_flow, dtype=dtype)
+    from rs_sfm_tpu.flow.dense import DenseFlowConfig
+
+    flow_cfg = DenseFlowConfig(warp_engine=args.warp_engine,
+                               census_weight=args.census_weight)
+    pixel_mask = None
+    if use_flow and args.occlusion_mask:
+        from rs_sfm_tpu.flow.dense import flow_forward_backward
+
+        def unit(img):
+            arr = jnp.asarray(img, dtype=jnp.float32)
+            return arr / 255.0 if np.asarray(img).dtype == np.uint8 else arr
+
+        fb = flow_forward_backward(unit(pair.frame1.rs_image),
+                                   unit(pair.frame2.rs_image), flow_cfg)
+        flow_px = jnp.asarray(fb.flow, dtype)
+        pixel_mask = ~fb.occlusion
+        print(f"occlusion-masked pixels: {float(fb.occlusion.mean()):.1%}")
+    else:
+        flow_px = compute_flow(pair, use_flow, dtype=dtype,
+                               flow_cfg=flow_cfg)
     res = estimate_from_flow(flow_px, pair.intrinsics, gamma, cfg,
-                             jax.random.PRNGKey(args.seed))
+                             jax.random.PRNGKey(args.seed),
+                             pixel_mask=pixel_mask)
     print("num_inliers:", int(res.num_inliers))
     print("w:", np.asarray(res.w))
     print("v:", np.asarray(res.v))
@@ -327,6 +347,16 @@ def main(argv=None):
         p.add_argument("--global-shutter", action="store_true")
         p.add_argument("--no-refinement", action="store_true")
         p.add_argument("--deep-flow", action="store_true")
+        p.add_argument("--warp-engine", choices=("xla", "pallas"),
+                       default="xla",
+                       help="dense-flow warp kernel (pallas = blocked TPU "
+                            "kernel, ~5x faster flow at full-HD)")
+        p.add_argument("--census-weight", type=float, default=0.0,
+                       help="ternary-census data term weight (real imagery "
+                            "with illumination changes; 0 = off)")
+        p.add_argument("--occlusion-mask", action="store_true",
+                       help="forward-backward occlusion check; occluded "
+                            "pixels are excluded from RANSAC/refinement")
         p.add_argument("--gamma", type=float, default=None)
         p.add_argument("--seed", type=int, default=0)
         _add_common(p)

@@ -57,18 +57,23 @@ class VelocityErrors(NamedTuple):
 
 
 def compute_flow(pair: PairData, use_deep_flow: bool = False,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, flow_cfg=None):
     """Dense flow for a pair: ground-truth reprojection flow or dense
-    estimation (src/errorMeasure.cpp:48-55)."""
+    estimation (src/errorMeasure.cpp:48-55).
+
+    flow_cfg: optional DenseFlowConfig for the dense path (warp engine,
+    census term, etc.).
+    """
     if use_deep_flow:
-        from rs_sfm_tpu.flow.dense import dense_flow
+        from rs_sfm_tpu.flow.dense import DenseFlowConfig, dense_flow
 
         def unit(img):
             arr = jnp.asarray(img, dtype=dtype)
             return arr / 255.0 if np.asarray(img).dtype == np.uint8 else arr
 
         return dense_flow(unit(pair.frame1.rs_image),
-                          unit(pair.frame2.rs_image))
+                          unit(pair.frame2.rs_image),
+                          flow_cfg or DenseFlowConfig())
     if pair.frame1.rs_unproject is None:
         raise ValueError("ground-truth flow needs unprojection maps; "
                          "use use_deep_flow=True for real pairs")

@@ -7,4 +7,6 @@
               src/camera.cc:253-277).
 """
 
+from rs_sfm_tpu.flow.dense import (DenseFlowConfig, FlowWithOcclusion,
+                                   dense_flow, flow_forward_backward)
 from rs_sfm_tpu.flow.true_flow import true_flow

@@ -70,6 +70,7 @@ def estimate_from_flow(
     key,
     *,
     axis_name: Optional[str] = None,
+    pixel_mask=None,
 ) -> EstimationResult:
     """Full estimation: flow grid → (v, w, k) + inverse-depth map.
 
@@ -79,6 +80,9 @@ def estimate_from_flow(
       cfg: pipeline configuration.
       key: PRNG key for RANSAC sampling.
       axis_name: collective axis when pixels are sharded (shard_map).
+      pixel_mask: optional (H, W) bool — pixels where the flow is trusted
+        (e.g. ~occlusion from flow.dense.flow_forward_backward).  ANDed
+        into the validity mask before RANSAC/refinement; fixed-shape.
 
     Returns:
       EstimationResult on the full (H, W) grid.
@@ -87,6 +91,8 @@ def estimate_from_flow(
     use_k = cfg.use_acceleration and not cfg.use_global_shutter
     coords, flow_n, alpha, alpha_k, valid = prepare_flow_inputs(
         flow_px, intr, gamma, cfg)
+    if pixel_mask is not None:
+        valid = valid & pixel_mask.reshape(-1)
 
     rr: RansacResult = ransac(
         coords, flow_n, alpha, alpha_k, valid,

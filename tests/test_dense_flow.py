@@ -98,6 +98,112 @@ def test_struct_texture_handles_illumination_change():
     assert epe_st <= epe_raw + 0.05
 
 
+def test_census_handles_nonlinear_illumination():
+    """A spatially-varying, nonlinear brightness change (vignette + gamma)
+    defeats brightness constancy AND is only partly fixed by
+    structure-texture; the census term is invariant to any monotone local
+    intensity map and should keep the flow accurate."""
+    pair, gt = _pair_and_gt([0.12, -0.05, 0.0], [0.0, 0.0, 0.0])
+    i1 = pair.frame1.rs_image.astype(jnp.float32)
+    i2 = pair.frame2.rs_image.astype(jnp.float32)
+    # Vignette (radial falloff) + gamma curve on frame 2 only.
+    ys, xs = np.mgrid[0:H, 0:W].astype(np.float32)
+    r2 = ((ys - H / 2) ** 2 + (xs - W / 2) ** 2) / (H / 2) ** 2
+    vign = jnp.asarray((1.0 - 0.35 * r2).clip(0.3, 1.0))
+    if i2.ndim == 3:
+        vign = vign[..., None]
+    i2c = jnp.clip((i2 * vign) ** 1.4, 0.0, 1.0)
+
+    hit = np.asarray(pair.frame1.rs_depth) > 0
+    inner = np.zeros_like(hit)
+    inner[8:-8, 8:-8] = True
+    m = hit & inner
+
+    est_raw = np.asarray(dense_flow(i1, i2c))
+    est_cen = np.asarray(dense_flow(i1, i2c,
+                                    DenseFlowConfig(census_weight=1.0)))
+    epe_raw = np.median(np.linalg.norm(est_raw - gt, axis=-1)[m])
+    epe_cen = np.median(np.linalg.norm(est_cen - gt, axis=-1)[m])
+    # Raw brightness constancy fails catastrophically here (~33 px median
+    # EPE); census recovers a usable field (~1.7 px on ~2.8 px motion).
+    assert epe_raw > 5.0, epe_raw
+    assert epe_cen < 2.5, (epe_cen, epe_raw)
+    assert epe_cen < 0.25 * epe_raw, (epe_cen, epe_raw)
+
+
+def test_census_no_regression_on_clean_pair():
+    """With clean photometry the census term must not hurt accuracy."""
+    pair, gt = _pair_and_gt([0.12, -0.05, 0.0], [0.0, 0.0, 0.0])
+    i1 = pair.frame1.rs_image.astype(jnp.float32)
+    i2 = pair.frame2.rs_image.astype(jnp.float32)
+    hit = np.asarray(pair.frame1.rs_depth) > 0
+    inner = np.zeros_like(hit)
+    inner[8:-8, 8:-8] = True
+    m = hit & inner
+    est = np.asarray(dense_flow(i1, i2, DenseFlowConfig(census_weight=1.0)))
+    epe = np.median(np.linalg.norm(est - gt, axis=-1)[m])
+    assert epe < 0.5, epe
+
+
+def test_forward_backward_occlusion():
+    """Out-of-view pixels (no correspondence in frame 2) must be flagged by
+    the forward-backward check; well-matched interior pixels must not."""
+    from rs_sfm_tpu.flow.dense import flow_forward_backward
+
+    pair, gt = _pair_and_gt([1.0, 0.0, 0.0], [0.0, 0.0, 0.0])
+    i1 = pair.frame1.rs_image.astype(jnp.float32)
+    i2 = pair.frame2.rs_image.astype(jnp.float32)
+    res = flow_forward_backward(i1, i2)
+    occ = np.asarray(res.occlusion)
+
+    hit = np.asarray(pair.frame1.rs_depth) > 0
+    ys, xs = np.mgrid[0:H, 0:W]
+    out_of_view = (xs + gt[..., 0] < -2) | (xs + gt[..., 0] > W + 1)
+    inner = np.zeros((H, W), bool)
+    inner[10:-10, 10:-10] = True
+    matched = hit & inner & ~((xs + gt[..., 0] < 2)
+                              | (xs + gt[..., 0] > W - 3))
+    oov = hit & out_of_view
+    assert oov.sum() > 100  # scenario actually creates occlusion
+    # Most out-of-view pixels flagged; most matched pixels kept (the ~35 px
+    # motion at 128 px resolution puts flow noise near the fixed 0.5 px
+    # term of the Sundaram-Brox threshold, so some false positives remain).
+    assert occ[oov].mean() > 0.6, occ[oov].mean()
+    assert occ[matched].mean() < 0.25, occ[matched].mean()
+    # Forward and warped-backward flows roughly cancel on matched pixels.
+    assert np.isfinite(np.asarray(res.backward)).all()
+
+
+def test_pipeline_pixel_mask():
+    """estimate_from_flow(pixel_mask=...) must exclude masked pixels from
+    the inlier set and still recover the motion from the rest."""
+    import jax
+    from rs_sfm_tpu.config import PipelineConfig
+    from rs_sfm_tpu.data.synthetic import render_pair as _rp  # noqa: F401
+    from rs_sfm_tpu.flow.true_flow import true_flow as _tf  # noqa: F401
+    from rs_sfm_tpu.solver.pipeline import estimate_from_flow
+
+    v_true = np.array([0.12, -0.05, 0.08])
+    w_true = np.array([0.003, -0.002, 0.004])
+    pair, gt = _pair_and_gt(v_true, w_true)
+    intr = default_intrinsics(H, W)
+    # Corrupt a block of the flow and mask it out.
+    flow = gt.copy()
+    flow[30:60, 30:60] += 25.0
+    mask = np.ones((H, W), bool)
+    mask[30:60, 30:60] = False
+    cfg = PipelineConfig(ransac_trials=128)
+    res = estimate_from_flow(jnp.asarray(flow), intr, 0.9, cfg,
+                             jax.random.PRNGKey(0),
+                             pixel_mask=jnp.asarray(mask))
+    assert not np.asarray(res.inlier_mask)[30:60, 30:60].any()
+    v_unit = v_true / np.linalg.norm(v_true)
+    vang = np.arccos(np.clip(
+        np.asarray(res.v) @ v_unit / np.linalg.norm(res.v), -1, 1))
+    assert vang < 0.03, vang
+    assert np.linalg.norm(np.asarray(res.w) - w_true) < 2e-3
+
+
 def test_large_displacement():
     """The discrete matching stages capture motions far beyond the
     variational linearization range (DeepFlow's matching-term role).

@@ -58,3 +58,66 @@ def test_video_fault_isolation():
     assert np.isfinite(np.asarray(r)).all()
     # Pose holds across the poisoned pair.
     np.testing.assert_allclose(np.asarray(r[2]), np.asarray(r[1]), atol=1e-12)
+
+
+def test_video_checkpoint_resume(tmp_path):
+    """Windows already checkpointed must be restored, not recomputed: the
+    second call sees corrupted flows for window 0 but must return the
+    original (checkpointed) result for it."""
+    from rs_sfm_tpu.video_ckpt import process_video_checkpointed
+
+    flows, intr = _flows(5)  # 5 pairs, window=2 -> 3 windows (last padded)
+    cfg = PipelineConfig(ransac_trials=32, ransac_tol=0.01,
+                         refine_iterations=10)
+    ckpt = tmp_path / "ckpt"
+    res1 = process_video_checkpointed(
+        flows, intr, GAMMA, cfg, jax.random.PRNGKey(0),
+        ckpt_dir=str(ckpt), window=2)
+    assert res1.v.shape == (5, 3)
+    assert bool(res1.ok.all())
+
+    # Corrupt the first window's flows; resume must ignore it.
+    flows2 = jnp.asarray(np.asarray(flows)).at[0].set(0.0)
+    seen = []
+    res2 = process_video_checkpointed(
+        flows2, intr, GAMMA, cfg, jax.random.PRNGKey(0),
+        ckpt_dir=str(ckpt), window=2,
+        on_window=lambda wi, r: seen.append(wi))
+    assert seen == [0, 1, 2]
+    np.testing.assert_allclose(np.asarray(res2.v), np.asarray(res1.v))
+    np.testing.assert_allclose(np.asarray(res2.ok), np.asarray(res1.ok))
+
+
+def test_video_checkpoint_partial_resume(tmp_path):
+    """A fresh directory computes everything; interrupting after window 0
+    (simulated by a callback exception) resumes at window 1."""
+    from rs_sfm_tpu.video_ckpt import process_video_checkpointed
+
+    flows, intr = _flows(4)
+    cfg = PipelineConfig(ransac_trials=32, ransac_tol=0.01,
+                         refine_iterations=10)
+    ckpt = tmp_path / "ckpt2"
+
+    class Stop(Exception):
+        pass
+
+    def bomb(wi, r):
+        if wi == 0:
+            raise Stop()
+
+    try:
+        process_video_checkpointed(
+            flows, intr, GAMMA, cfg, jax.random.PRNGKey(0),
+            ckpt_dir=str(ckpt), window=2, on_window=bomb)
+        raise AssertionError("expected Stop")
+    except Stop:
+        pass
+
+    seen = []
+    res = process_video_checkpointed(
+        flows, intr, GAMMA, cfg, jax.random.PRNGKey(0),
+        ckpt_dir=str(ckpt), window=2,
+        on_window=lambda wi, r: seen.append(wi))
+    assert seen == [0, 1]
+    assert res.v.shape == (4, 3)
+    assert bool(res.ok.all())
