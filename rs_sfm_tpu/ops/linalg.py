@@ -207,6 +207,41 @@ def solve_spd(a, b, damping=0.0):
     return gauss_solve(a, b)
 
 
+def solve_pd_nopivot(a, b):
+    """Solve a @ x = b without pivoting (tiny positive-definite systems).
+
+    For LM-damped normal equations the diagonal dominates, so partial
+    pivoting is unnecessary; dropping it roughly halves the op count of the
+    unrolled elimination — this matters when the solve sits inside a
+    sequential 50-iteration device loop where per-op dispatch dominates
+    (the reference leaves this to Ceres' dense Cholesky,
+    src/nonlinearRefinement.cc:161).
+
+    Args:
+      a: (..., n, n) damped PD matrix.
+      b: (..., n) or (..., n, m).
+
+    Returns:
+      x with the shape of b.
+    """
+    vec = b.ndim == a.ndim - 1
+    if vec:
+        b = b[..., None]
+    n = a.shape[-1]
+    aug = jnp.concatenate([a, b], axis=-1)
+    row_ids = jnp.arange(n)
+    for k in range(n):
+        pivval = aug[..., k, k]
+        safe = jnp.where(pivval == 0.0, jnp.ones_like(pivval), pivval)
+        factors = jnp.where(row_ids == k, jnp.zeros_like(aug[..., :, k]),
+                            aug[..., :, k])
+        piv_row = aug[..., k, :] / safe[..., None]
+        aug = jnp.where((row_ids == k)[:, None], piv_row[..., None, :],
+                        aug - factors[..., None] * piv_row[..., None, :])
+    x = aug[..., n:]
+    return x[..., 0] if vec else x
+
+
 # ---------------------------------------------------------------------------
 # Polynomial roots: Durand–Kerner (Weierstrass) simultaneous iteration
 # ---------------------------------------------------------------------------

@@ -171,14 +171,17 @@ def _update_kernel(params_ref, px_ref, rho_ref, cost_ref):
     cost_ref[0, :, :] = jnp.where(lane == 0, cost_val, jnp.float32(0.0))
 
 
+import numpy as np
+
+# (7, 7) -> index into the 28-element packed upper triangle (symmetric).
+_TRI_IDX = np.zeros((7, 7), np.int32)
+for _n, (_i, _j) in enumerate(_TRIU):
+    _TRI_IDX[_i, _j] = _TRI_IDX[_j, _i] = _n
+
+
 def _unpack_tri(tri):
-    """(28,) upper triangle -> (7, 7) symmetric."""
-    mat = jnp.zeros((7, 7), tri.dtype)
-    idx = 0
-    for i, j in _TRIU:
-        mat = mat.at[i, j].set(tri[idx])
-        idx += 1
-    return mat + jnp.triu(mat, 1).T
+    """(28,) upper triangle -> (7, 7) symmetric (single gather)."""
+    return tri[_TRI_IDX]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

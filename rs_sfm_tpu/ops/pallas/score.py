@@ -4,15 +4,25 @@ The scoring pass is the RANSAC hot loop: for every hypothesis (v, w, k) and
 every pixel, compute the closed-form inverse depth, the predicted flow, the
 residual norm, and accumulate (#inliers, inlier error).  The XLA version
 (solver/ransac.py) streams (chunk, N) intermediates through HBM; this kernel
-keeps a pixel tile resident in VMEM and loops all hypotheses over it, so
-pixel data is read from HBM exactly once for the whole hypothesis batch —
+keeps a pixel tile resident in VMEM and sweeps hypothesis *blocks* over it,
+so pixel data is read from HBM exactly once for the whole hypothesis batch —
 the bandwidth-optimal schedule.
+
+Vectorization: a block of HBLOCK hypotheses lives on the sublane axis and a
+TILE-pixel tile on the lane axis; every arithmetic op is a full
+(HBLOCK, TILE) VPU pass (hypothesis parameters broadcast as (HBLOCK, 1)
+columns, pixel fields as (1, TILE) rows).  The per-block reduction is a
+lane-axis sum to (HBLOCK,) — no scalar loops, no one-hot accumulation.
 
 Layout: pixel fields are packed structure-of-arrays as (8, N): rows
 [x, y, ux, uy, alpha, alpha_k, valid, unused], N padded to the tile size.
-Hypotheses are (T, 8): [vx, vy, vz, wx, wy, wz, k, unused].  Output is
-(tiles, 2, T): per-tile [inlier count, inlier error] per hypothesis,
-summed by the caller.
+Hypotheses are (T, 8): [vx, vy, vz, wx, wy, wz, k, unused], T padded to
+HBLOCK.  Output is (tiles, 2, T): per-tile [inlier count, inlier error] per
+hypothesis, summed by the caller.
+
+Reference semantics: inlier test ||u_est - u|| < tol with
+u_est = beta (A v rho + B w) and the closed-form depth rho
+(src/minimal.cc:255-275); error sum over inliers only (src/minimal.cc:278).
 """
 
 from __future__ import annotations
@@ -24,60 +34,52 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE = 16384  # pixels per grid step (8 fields x 16384 f32 = 512 KB in VMEM)
+TILE = 1024    # pixels per grid step (lane axis)
+HBLOCK = 128   # hypotheses per grid step (sublane axis; output-lane aligned)
 
 
-def _score_kernel(hyp_ref, px_ref, out_ref, *, tol: float, n_hyp: int):
-    """One pixel tile vs all hypotheses.
+def _score_kernel(hyp_ref, px_ref, out_ref, *, tol: float):
+    """One (pixel tile) x (hypothesis block) pass.
 
-    hyp_ref: (n_hyp, 8) VMEM; px_ref: (8, TILE) VMEM;
-    out_ref: (2, n_hyp) VMEM.
+    hyp_ref: (HBLOCK, 8) VMEM; px_ref: (8, TILE) VMEM;
+    out_ref: (1, 2, HBLOCK) VMEM.
     """
-    x = px_ref[0, :]
-    y = px_ref[1, :]
-    ux = px_ref[2, :]
-    uy = px_ref[3, :]
-    alpha = px_ref[4, :]
-    alpha_k = px_ref[5, :]
-    valid = px_ref[6, :]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (2, n_hyp), 1)
+    x = px_ref[0:1, :]        # (1, TILE)
+    y = px_ref[1:2, :]
+    ux = px_ref[2:3, :]
+    uy = px_ref[3:4, :]
+    alpha = px_ref[4:5, :]
+    alpha_k = px_ref[5:6, :]
+    valid = px_ref[6:7, :]
 
-    def body(h, acc):
-        vx = hyp_ref[h, 0]
-        vy = hyp_ref[h, 1]
-        vz = hyp_ref[h, 2]
-        wx = hyp_ref[h, 3]
-        wy = hyp_ref[h, 4]
-        wz = hyp_ref[h, 5]
-        k = hyp_ref[h, 6]
+    vx = hyp_ref[:, 0:1]      # (HBLOCK, 1)
+    vy = hyp_ref[:, 1:2]
+    vz = hyp_ref[:, 2:3]
+    wx = hyp_ref[:, 3:4]
+    wy = hyp_ref[:, 4:5]
+    wz = hyp_ref[:, 5:6]
+    k = hyp_ref[:, 6:7]
 
-        beta = (alpha + k * alpha_k) * (2.0 / (2.0 + k))
-        ax = vx - x * vz
-        ay = vy - y * vz
-        bx = -x * y * wx + (1.0 + x * x) * wy - y * wz
-        by = -(1.0 + y * y) * wx + x * y * wy + x * wz
-        gx = beta * ax
-        gy = beta * ay
-        rx = ux - beta * bx
-        ry = uy - beta * by
-        gg = gx * gx + gy * gy
-        gr = gx * rx + gy * ry
-        rho = jnp.where(gg == 0.0, 0.0, gr / jnp.where(gg == 0.0, 1.0, gg))
-        ex = ux - beta * (ax * rho + bx)
-        ey = uy - beta * (ay * rho + by)
-        err = jnp.sqrt(ex * ex + ey * ey)
-        inl = (err < tol) & (valid > 0.5)
-        num = jnp.sum(inl.astype(jnp.float32))
-        esum = jnp.sum(jnp.where(inl, err, jnp.float32(0.0)))
-        # Mosaic forbids scalar stores: accumulate via a one-hot lane mask
-        # (row 0 = counts, row 1 = error sums).
-        row = jax.lax.broadcasted_iota(jnp.int32, (2, n_hyp), 0)
-        upd = jnp.where(row == 0, num, esum)
-        return acc + jnp.where(lane == h, upd, jnp.float32(0.0))
-
-    acc = jax.lax.fori_loop(0, n_hyp, body,
-                            jnp.zeros((2, n_hyp), jnp.float32))
-    out_ref[0, :, :] = acc
+    # All lines below are (HBLOCK, TILE) elementwise VPU work.
+    beta = (alpha + k * alpha_k) * (2.0 / (2.0 + k))
+    ax = vx - x * vz
+    ay = vy - y * vz
+    bx = -x * y * wx + (1.0 + x * x) * wy - y * wz
+    by = -(1.0 + y * y) * wx + x * y * wy + x * wz
+    gx = beta * ax
+    gy = beta * ay
+    rx = ux - beta * bx
+    ry = uy - beta * by
+    gg = gx * gx + gy * gy
+    gr = gx * rx + gy * ry
+    rho = jnp.where(gg == 0.0, 0.0, gr / jnp.where(gg == 0.0, 1.0, gg))
+    ex = ux - beta * (ax * rho + bx)
+    ey = uy - beta * (ay * rho + by)
+    err = jnp.sqrt(ex * ex + ey * ey)
+    inl = (err < tol) & (valid > 0.5)
+    num = jnp.sum(inl.astype(jnp.float32), axis=1)             # (HBLOCK,)
+    esum = jnp.sum(jnp.where(inl, err, jnp.float32(0.0)), axis=1)
+    out_ref[0, :, :] = jnp.stack([num, esum], axis=0)          # (2, HBLOCK)
 
 
 @functools.partial(jax.jit, static_argnames=("tol", "interpret"))
@@ -86,33 +88,40 @@ def score_hypotheses_pallas(pixels, hyps, tol: float, interpret: bool = False):
 
     Args:
       pixels: (8, N) f32 packed pixel fields (N multiple of TILE).
-      hyps: (T, 8) f32 packed hypotheses.
+      hyps: (T, 8) f32 packed hypotheses (any T; padded internally).
       tol: inlier tolerance (static).
 
     Returns:
       (num_inliers (T,) f32, inlier_error (T,) f32).
     """
     _, n = pixels.shape
-    n_hyp = hyps.shape[0]
+    t = hyps.shape[0]
     assert n % TILE == 0, n
     tiles = n // TILE
+    pad = (-t) % HBLOCK
+    if pad:
+        hyps = jnp.concatenate([hyps, jnp.zeros((pad, 8), hyps.dtype)])
+    hblocks = (t + pad) // HBLOCK
 
+    # Grid order: hypothesis blocks innermost, so the pixel tile stays
+    # VMEM-resident while all hypothesis blocks sweep over it.
     out = pl.pallas_call(
-        functools.partial(_score_kernel, tol=tol, n_hyp=n_hyp),
-        grid=(tiles,),
+        functools.partial(_score_kernel, tol=tol),
+        grid=(tiles, hblocks),
         in_specs=[
-            pl.BlockSpec((n_hyp, 8), lambda i: (0, 0),
+            pl.BlockSpec((HBLOCK, 8), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, TILE), lambda i: (0, i),
+            pl.BlockSpec((8, TILE), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 2, n_hyp), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, 2, HBLOCK), lambda i, j: (i, 0, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((tiles, 2, n_hyp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((tiles, 2, hblocks * HBLOCK),
+                                       jnp.float32),
         interpret=interpret,
     )(hyps, pixels)
-    sums = out.sum(axis=0)  # (2, T)
-    return sums[0], sums[1]
+    sums = out.sum(axis=0)  # (2, T_padded)
+    return sums[0, :t], sums[1, :t]
 
 
 def pack_pixels(coords, flow, alpha, alpha_k, valid):

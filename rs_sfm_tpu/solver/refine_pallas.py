@@ -62,7 +62,7 @@ def refine_pallas(
         h_aug = h_aug.at[6, 6].add(1.0 - k_keep)
         h_red = h_aug - schur_h
         g_red = g_t - schur_g
-        delta = linalg.gauss_solve(h_red, -g_red)
+        delta = linalg.solve_pd_nopivot(h_red, -g_red)
 
         params_b = make_params(v, w, k, lam, delta)
         rho_new, cost_new = lm_update(px, params_b, interpret=interpret)

@@ -50,6 +50,21 @@ def test_gauss_det_solve_inv(n):
     np.testing.assert_allclose(inv, np.linalg.inv(a), rtol=1e-7, atol=1e-9)
 
 
+@pytest.mark.parametrize("n", [5, 7])
+def test_solve_pd_nopivot(n):
+    rng = np.random.default_rng(3)
+    m = rng.normal(size=(24, n, n))
+    a = m @ np.swapaxes(m, -1, -2) + 0.1 * np.eye(n)
+    b = rng.normal(size=(24, n))
+    x = np.asarray(linalg.solve_pd_nopivot(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(
+        x, np.linalg.solve(a, b[..., None])[..., 0], rtol=1e-8, atol=1e-10)
+    bm = rng.normal(size=(24, n, 3))
+    xm = np.asarray(linalg.solve_pd_nopivot(jnp.asarray(a), jnp.asarray(bm)))
+    np.testing.assert_allclose(xm, np.linalg.solve(a, bm), rtol=1e-8,
+                               atol=1e-10)
+
+
 def test_gauss_det_singular():
     a = np.eye(4)[None].repeat(3, axis=0)
     a[1, 2, 2] = 0.0  # singular

@@ -13,9 +13,13 @@ from rs_sfm_tpu.ops.pallas.score import (pack_hyps, pack_pixels,
 from rs_sfm_tpu.solver.ransac import _score_hypotheses
 
 
-def test_pallas_scorer_matches_xla():
+import pytest
+
+
+@pytest.mark.parametrize("t", [16, 40])
+def test_pallas_scorer_matches_xla(t):
     rng = np.random.default_rng(0)
-    n, t = TILE * 2, 16
+    n = TILE * 2
     coords = jnp.asarray(rng.normal(scale=0.3, size=(n, 2)), jnp.float32)
     flow = jnp.asarray(rng.normal(scale=0.01, size=(n, 2)), jnp.float32)
     alpha = jnp.asarray(1.0 + rng.normal(scale=0.01, size=n), jnp.float32)
