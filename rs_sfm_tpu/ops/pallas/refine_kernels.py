@@ -1,25 +1,54 @@
 """Pallas TPU kernels for the Schur-LM refinement inner loop.
 
-Each LM iteration needs (a) the Schur-reduced 7x7 system assembled from
-masked per-pixel reductions and (b) after solving for δθ, the per-pixel
-depth back-substitution plus the candidate cost.  The XLA implementation
-(solver/refine.py) pays several HBM passes and two K≈4M MXU Gram products
-per iteration (~4 ms at full-HD); these kernels read the packed pixel state
-exactly once per phase, keep everything in VMEM, and emit only tile-level
-partials (phase A) or the updated depths + cost partial (phase B) —
-~10x less HBM traffic per iteration.
+One LM iteration = ONE kernel sweep over the pixel tiles (`lm_iter`).  This
+matters doubly on the target platform: the XLA implementation
+(solver/refine.py) pays ~100 microscopic dispatched ops per iteration for
+the 7x7 solve and bookkeeping, and the remote-TPU runtime adds a large
+fixed cost to every extra sequential dispatch, so the whole iteration is
+fused into a single pallas_call:
 
-Packed pixel state (rows of an (8, N) f32 array):
-  0 x   1 y   2 ux   3 uy   4 alpha   5 alpha_k   6 mask   7 rho
-Parameter vector (SMEM, (16,) f32):
-  0..2 v   3..5 w   6 k   7 lambda   8 k_keep   9..15 delta_theta (phase B)
+  1. depth merge: rho_eff = accept ? rho_cand : rho_prev;
+  2. depth back-substitution at the last solved delta:
+     rho_new = rho_eff - (g_rho + c . delta) / (d (1+lambda));
+  3. reduction of the 71 Schur/cost sums at the NEW candidate
+     (theta_cand, rho_new), accumulated in a VMEM one-hot accumulator;
+  4. on the final tile: accept/reject decision, lambda schedule, Schur
+     assembly, and an unrolled scalar-core Gauss-Jordan solve of the damped
+     7x7 system, emitting the full next LM state.
 
-Phase A tile output layout ((1, 128) f32):
-  [0:28)   upper triangle of Σ JθᵀJθ (row-major i<=j)
-  [28:35)  Σ Jθᵀ r
-  [35)     Σ m·|r|²   (current cost)
-  [36:64)  upper triangle of Σ c cᵀ/d̃
-  [64:71)  Σ c g_ρ/d̃
+The loop is in "pipelined accept" form: the candidate cost is evaluated by
+the NEXT iteration's sweep (it must read the pixels anyway), and the
+reduction sums of the last accepted state ride along in the state vector,
+stored lambda-independently (sum c c^T / d instead of / d(1+lambda)) so a
+rejected step reuses them exactly under the new damping — rejection costs
+nothing.  The sequence of evaluated points, accept decisions, and lambda
+updates is identical to the unfused formulation (and to solver/refine.py,
+the f64-capable parity reference).
+
+Packed pixel fields (rows of an (8, N) f32 array, N padded to TILE):
+  0 x   1 y   2 ux   3 uy   4 alpha   5 alpha_k   6 mask   7 unused
+The inverse depth rho is carried separately as (1, N) arrays (previous
+accepted + current candidate) so the big pixel block is never rewritten.
+
+State vector layout ((128,) f32, SMEM):
+  [0:7)    theta_eff (v, w, k) — last accepted parameters
+  [7:14)   theta_cand — candidate parameters (theta_eff + delta)
+  [14]     lambda (damping used for the delta in [19:26))
+  [15]     cost at theta_eff
+  [16]     k_keep (1.0 = optimize k, 0.0 = frozen)
+  [17]     accept flag of the last decision
+  [18]     done flag (converged; sticky)
+  [19:26)  delta theta
+  [26]     rel_tol (convergence tolerance, copied through)
+  [27]     active (0.0 on the bootstrap sweep: no back-substitution yet)
+  [28]     initial cost (captured on the bootstrap sweep)
+  [32:103) reduction sums at theta_eff (lambda-independent), offsets within:
+           [0:28) triu sum J^T J   [28:35) sum J^T r   [35] cost
+           [36:64) triu sum c c^T / d   [64:71) sum c g_rho / d
+
+Reference: the joint refinement objective and DENSE_SCHUR structure follow
+src/nonlinearRefinement.cc:183-252 (Ceres); the Schur elimination of the
+per-pixel rho blocks is analytic here because the residual is linear in rho.
 """
 
 from __future__ import annotations
@@ -28,6 +57,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -35,9 +65,29 @@ TILE = 4096  # measured best at full-HD (32768 was ~3% slower)
 
 _TRIU = [(i, j) for i in range(7) for j in range(7) if i <= j]
 
+# (7, 7) -> index into the 28-element packed upper triangle (symmetric).
+_TRI_IDX = np.zeros((7, 7), np.int32)
+for _n, (_i, _j) in enumerate(_TRIU):
+    _TRI_IDX[_i, _j] = _TRI_IDX[_j, _i] = _n
 
-def _pixel_terms(px_ref, theta):
-    """Common per-pixel quantities for both phases."""
+# State-vector slots.
+_S_THETA = 0
+_S_CAND = 7
+_S_LAM = 14
+_S_COST = 15
+_S_KKEEP = 16
+_S_ACCEPT = 17
+_S_DONE = 18
+_S_DELTA = 19
+_S_RELTOL = 26
+_S_ACTIVE = 27
+_S_COST0 = 28
+_S_SUMS = 32
+_N_SUMS = 71
+
+
+def _pixel_terms(px_ref, rho, theta):
+    """Common per-pixel quantities (all (TILE,) f32)."""
     x = px_ref[0, :]
     y = px_ref[1, :]
     ux = px_ref[2, :]
@@ -45,7 +95,6 @@ def _pixel_terms(px_ref, theta):
     alpha = px_ref[4, :]
     alpha_k = px_ref[5, :]
     m = px_ref[6, :]
-    rho = px_ref[7, :]
     v0, v1, v2, w0, w1, w2, k = theta
 
     beta = (alpha + k * alpha_k) * (2.0 / (2.0 + k))
@@ -58,50 +107,113 @@ def _pixel_terms(px_ref, theta):
     ey = ay * rho + by
     rx = ux - beta * ex
     ry = uy - beta * ey
-    return (x, y, alpha, alpha_k, m, rho, beta, dbeta, ax, ay, ex, ey,
-            rx, ry)
+    return x, y, m, beta, dbeta, ax, ay, ex, ey, rx, ry
 
 
-def _jacobian_rows(x, y, rho, beta, dbeta, ex, ey):
-    """Rows of ∂r/∂θ for both residual components: two 7-vectors of arrays."""
+def _jacobian_rows(x, y, rho, beta, dbeta, ex, ey, k_keep):
+    """Rows of dr/dtheta for both residual components (k column gated)."""
     zero = jnp.zeros_like(x)
     brho = beta * rho
     jx = (-brho, zero, brho * x,
           beta * x * y, -beta * (1.0 + x * x), beta * y,
-          -dbeta * ex)
+          -dbeta * ex * k_keep)
     jy = (zero, -brho, brho * y,
           beta * (1.0 + y * y), -beta * x * y, -beta * x,
-          -dbeta * ey)
+          -dbeta * ey * k_keep)
     return jx, jy
 
 
-def _reduce_kernel(params_ref, px_ref, out_ref):
-    theta = tuple(params_ref[i] for i in range(7))
-    lam = params_ref[7]
-    k_keep = params_ref[8]
-    (x, y, _, _, m, rho, beta, dbeta, ax, ay, ex, ey, rx, ry) = _pixel_terms(
-        px_ref, theta)
-    jx, jy = _jacobian_rows(x, y, rho, beta, dbeta, ex, ey)
-    # Frozen k: zero its Jacobian column.
-    jx = jx[:6] + (jx[6] * k_keep,)
-    jy = jy[:6] + (jy[6] * k_keep,)
+def _solve_7x8_scalar(h, b):
+    """Unrolled scalar Gauss-Jordan with partial pivoting (7x7 system).
 
-    # ∂r/∂ρ = −β·A·v
+    h: 7x7 nested list of scalars; b: length-7 list.  Returns delta (list of
+    7 scalars).  Partial pivoting matches the robustness of the XLA path's
+    pivoted solve on weakly damped, near-gauge-singular systems (the
+    reference leaves this to Ceres' dense Cholesky,
+    src/nonlinearRefinement.cc:161).  ~1.5k scalar-core ops, once per
+    LM iteration.
+    """
+    aug = [[h[r][c] for c in range(7)] + [b[r]] for r in range(7)]
+    for kk in range(7):
+        # Swap row kk with the largest-|column-kk| row below it, pairwise.
+        for r in range(kk + 1, 7):
+            swap = jnp.abs(aug[r][kk]) > jnp.abs(aug[kk][kk])
+            for c in range(kk, 8):
+                hi = jnp.where(swap, aug[r][c], aug[kk][c])
+                lo = jnp.where(swap, aug[kk][c], aug[r][c])
+                aug[kk][c] = hi
+                aug[r][c] = lo
+        piv = aug[kk][kk]
+        safe = jnp.where(piv == 0.0, 1.0, piv)
+        inv = jnp.where(piv == 0.0, 0.0, 1.0 / safe)
+        for c in range(kk, 8):
+            aug[kk][c] = aug[kk][c] * inv
+        for r in range(7):
+            if r == kk:
+                continue
+            f = aug[r][kk]
+            for c in range(kk + 1, 8):
+                aug[r][c] = aug[r][c] - f * aug[kk][c]
+    return [aug[r][7] for r in range(7)]
+
+
+def _iter_kernel(state_ref, px_ref, rho_prev_ref, rho_cand_ref,
+                 out_ref, rho_eff_ref, rho_new_ref, acc_ref,
+                 *, tiles: int):
+    """One full LM iteration; see module docstring.
+
+    state_ref: (128,) SMEM; px_ref: (8, TILE) VMEM;
+    rho_prev/cand_ref: (1, TILE) VMEM inputs;
+    out_ref: (128,) SMEM; rho_eff/new_ref: (1, TILE) VMEM outputs;
+    acc_ref: (1, 128) VMEM scratch (persists across grid steps).
+    """
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        acc_ref[0, :] = jnp.zeros((128,), jnp.float32)
+
+    theta_eff = tuple(state_ref[_S_THETA + t] for t in range(7))
+    theta_cand = tuple(state_ref[_S_CAND + t] for t in range(7))
+    delta = tuple(state_ref[_S_DELTA + t] for t in range(7))
+    k_keep = state_ref[_S_KKEEP]
+    lam = state_ref[_S_LAM]
+    accept = state_ref[_S_ACCEPT] > 0.5
+    active = state_ref[_S_ACTIVE]
+
+    # --- depth merge + back-substitution at (theta_eff, delta) ---
+    rho_eff = jnp.where(accept, rho_cand_ref[0, :], rho_prev_ref[0, :])
+    x, y, m, beta, dbeta, ax, ay, ex, ey, rx, ry = _pixel_terms(
+        px_ref, rho_eff, theta_eff)
+    jx, jy = _jacobian_rows(x, y, rho_eff, beta, dbeta, ex, ey, k_keep)
+    jrx = -beta * ax
+    jry = -beta * ay
+    d_aug = (jrx * jrx + jry * jry) * m * (1.0 + lam)
+    informative = d_aug > 0.0
+    d_safe = jnp.where(informative, d_aug, jnp.ones_like(d_aug))
+    g_rho = (jrx * rx + jry * ry) * m
+    c_dot_dth = jnp.zeros_like(x)
+    for t in range(7):
+        c_dot_dth = c_dot_dth + (jx[t] * jrx + jy[t] * jry) * m * delta[t]
+    delta_rho = jnp.where(informative, -(g_rho + c_dot_dth) / d_safe,
+                          jnp.float32(0.0))
+    rho_new = rho_eff + delta_rho * m * active
+    rho_eff_ref[0, :] = rho_eff
+    rho_new_ref[0, :] = rho_new
+
+    # --- reduction at the new candidate (theta_cand, rho_new) ---
+    x, y, m, beta, dbeta, ax, ay, ex, ey, rx, ry = _pixel_terms(
+        px_ref, rho_new, theta_cand)
+    jx, jy = _jacobian_rows(x, y, rho_new, beta, dbeta, ex, ey, k_keep)
     jrx = -beta * ax
     jry = -beta * ay
     d = (jrx * jrx + jry * jry) * m
-    d_aug = d * (1.0 + lam)
-    informative = d_aug > 0.0
-    d_safe = jnp.where(informative, d_aug, jnp.ones_like(d_aug))
-    inv_d = jnp.where(informative, 1.0 / d_safe, jnp.zeros_like(d_aug))
+    informative = d > 0.0
+    inv_d = jnp.where(informative, 1.0 / jnp.where(informative, d, 1.0),
+                      0.0)
     g_rho = (jrx * rx + jry * ry) * m
+    c = [(jx[t] * jrx + jy[t] * jry) * m for t in range(7)]
 
-    c = [None] * 7
-    for i in range(7):
-        c[i] = (jx[i] * jrx + jy[i] * jry) * m
-
-    # Mosaic forbids scalar stores to VMEM: accumulate the 71 partials into
-    # a (1, 128) row via one-hot lane masks and store it once.
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     acc = jnp.zeros((1, 128), jnp.float32)
 
@@ -109,126 +221,116 @@ def _reduce_kernel(params_ref, px_ref, out_ref):
         return acc + jnp.where(lane == idx, val, jnp.float32(0.0))
 
     idx = 0
-    for i, j in _TRIU:
-        acc = put(acc, idx, jnp.sum((jx[i] * jx[j] + jy[i] * jy[j]) * m))
+    for r, s in _TRIU:
+        acc = put(acc, idx, jnp.sum((jx[r] * jx[s] + jy[r] * jy[s]) * m))
         idx += 1
-    for i in range(7):
-        acc = put(acc, 28 + i, jnp.sum((jx[i] * rx + jy[i] * ry) * m))
+    for t in range(7):
+        acc = put(acc, 28 + t, jnp.sum((jx[t] * rx + jy[t] * ry) * m))
     acc = put(acc, 35, jnp.sum((rx * rx + ry * ry) * m))
     idx = 36
-    for i, j in _TRIU:
-        acc = put(acc, idx, jnp.sum(c[i] * c[j] * inv_d))
+    for r, s in _TRIU:
+        acc = put(acc, idx, jnp.sum(c[r] * c[s] * inv_d))
         idx += 1
-    for i in range(7):
-        acc = put(acc, 64 + i, jnp.sum(c[i] * g_rho * inv_d))
-    out_ref[0, :, :] = acc
+    for t in range(7):
+        acc = put(acc, 64 + t, jnp.sum(c[t] * g_rho * inv_d))
+    acc_ref[0, :] += acc[0, :]
 
+    # --- decide + solve on the last tile (scalar core) ---
+    @pl.when(i == tiles - 1)
+    def _decide_and_solve():
+        acc_row = acc_ref[0, :]
+        sums_cand = [jnp.sum(jnp.where(lane[0, :] == j, acc_row, 0.0))
+                     for j in range(_N_SUMS)]
+        cost_prev = state_ref[_S_COST]
+        rel_tol = state_ref[_S_RELTOL]
+        cost_cand = sums_cand[35]
+        acc_ok = (cost_cand < cost_prev) & (cost_cand == cost_cand)
+        prev_finite = jnp.abs(cost_prev) < jnp.float32(3.0e38)
+        conv = acc_ok & prev_finite & (
+            cost_prev - cost_cand <= rel_tol * cost_prev)
+        done = (state_ref[_S_DONE] > 0.5) | conv
 
-def _update_kernel(params_ref, px_ref, rho_ref, cost_ref):
-    theta = tuple(params_ref[i] for i in range(7))
-    lam = params_ref[7]
-    k_keep = params_ref[8]
-    dth = tuple(params_ref[9 + i] for i in range(7))
-    (x, y, alpha, alpha_k, m, rho, beta, dbeta, ax, ay, ex, ey, rx, ry
-     ) = _pixel_terms(px_ref, theta)
-    jx, jy = _jacobian_rows(x, y, rho, beta, dbeta, ex, ey)
-    jx = jx[:6] + (jx[6] * k_keep,)
-    jy = jy[:6] + (jy[6] * k_keep,)
+        sums = [jnp.where(acc_ok, sums_cand[j], state_ref[_S_SUMS + j])
+                for j in range(_N_SUMS)]
+        theta = [jnp.where(acc_ok, state_ref[_S_CAND + t],
+                           state_ref[_S_THETA + t]) for t in range(7)]
+        cost = jnp.where(acc_ok, cost_cand, cost_prev)
+        lam_new = jnp.where(acc_ok, jnp.maximum(lam / 3.0, 1e-12),
+                            lam * 4.0)
 
-    jrx = -beta * ax
-    jry = -beta * ay
-    d = (jrx * jrx + jry * jry) * m
-    d_aug = d * (1.0 + lam)
-    informative = d_aug > 0.0
-    d_safe = jnp.where(informative, d_aug, jnp.ones_like(d_aug))
-    g_rho = (jrx * rx + jry * ry) * m
+        # Schur-reduced damped system from the lambda-independent sums:
+        #   H = Jt^T Jt + lam diag(..) + e66 (1-k_keep) - S_h / (1+lam)
+        #   g = Jt^T r - S_g / (1+lam)
+        s = 1.0 / (1.0 + lam_new)
+        h = [[None] * 7 for _ in range(7)]
+        for r in range(7):
+            for cc in range(7):
+                tri = int(_TRI_IDX[r, cc])
+                h[r][cc] = sums[tri] - sums[36 + tri] * s
+            h[r][r] = h[r][r] + lam_new * (sums[int(_TRI_IDX[r, r])]
+                                           + 1e-12)
+        h[6][6] = h[6][6] + (1.0 - k_keep)
+        b = [-(sums[28 + r] - sums[64 + r] * s) for r in range(7)]
+        new_delta = _solve_7x8_scalar(h, b)
 
-    c_dot_dth = jnp.zeros_like(x)
-    for i in range(7):
-        c_dot_dth = c_dot_dth + (jx[i] * jrx + jy[i] * jry) * m * dth[i]
-    delta_rho = jnp.where(informative, -(g_rho + c_dot_dth) / d_safe,
-                          jnp.float32(0.0))
-    rho_new = rho + delta_rho * m
-    rho_ref[0, 0, :] = rho_new
-
-    # Candidate cost at (θ+δθ, ρ_new).
-    v0 = theta[0] + dth[0]
-    v1 = theta[1] + dth[1]
-    v2 = theta[2] + dth[2]
-    w0 = theta[3] + dth[3]
-    w1 = theta[4] + dth[4]
-    w2 = theta[5] + dth[5]
-    k_new = theta[6] + dth[6]
-    beta_n = (alpha + k_new * alpha_k) * (2.0 / (2.0 + k_new))
-    ax_n = v0 - x * v2
-    ay_n = v1 - y * v2
-    bx_n = -x * y * w0 + (1.0 + x * x) * w1 - y * w2
-    by_n = -(1.0 + y * y) * w0 + x * y * w1 + x * w2
-    rx_n = px_ref[2, :] - beta_n * (ax_n * rho_new + bx_n)
-    ry_n = px_ref[3, :] - beta_n * (ay_n * rho_new + by_n)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    cost_val = jnp.sum((rx_n * rx_n + ry_n * ry_n) * m)
-    cost_ref[0, :, :] = jnp.where(lane == 0, cost_val, jnp.float32(0.0))
-
-
-import numpy as np
-
-# (7, 7) -> index into the 28-element packed upper triangle (symmetric).
-_TRI_IDX = np.zeros((7, 7), np.int32)
-for _n, (_i, _j) in enumerate(_TRIU):
-    _TRI_IDX[_i, _j] = _TRI_IDX[_j, _i] = _n
-
-
-def _unpack_tri(tri):
-    """(28,) upper triangle -> (7, 7) symmetric (single gather)."""
-    return tri[_TRI_IDX]
+        for t in range(7):
+            out_ref[_S_THETA + t] = theta[t]
+            out_ref[_S_CAND + t] = theta[t] + new_delta[t]
+            out_ref[_S_DELTA + t] = new_delta[t]
+        out_ref[_S_LAM] = lam_new
+        out_ref[_S_COST] = cost
+        out_ref[_S_KKEEP] = k_keep
+        out_ref[_S_ACCEPT] = acc_ok.astype(jnp.float32)
+        out_ref[_S_DONE] = done.astype(jnp.float32)
+        out_ref[_S_RELTOL] = rel_tol
+        out_ref[_S_ACTIVE] = 1.0
+        out_ref[_S_COST0] = jnp.where(prev_finite, state_ref[_S_COST0],
+                                      cost_cand)
+        for j in range(_S_COST0 + 1, _S_SUMS):
+            out_ref[j] = 0.0
+        for j in range(_N_SUMS):
+            out_ref[_S_SUMS + j] = sums[j]
+        for j in range(_S_SUMS + _N_SUMS, 128):
+            out_ref[j] = 0.0
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def lm_reduce(px, params, interpret: bool = False):
-    """Phase A: tile partials -> (h_tt (7,7), g_t (7), cost (), schur_h (7,7),
-    schur_g (7))."""
+def lm_iter(state, px, rho_prev, rho_cand, interpret: bool = False):
+    """One fused LM iteration (merge + backsub + reduce + decide + solve).
+
+    Args:
+      state: (128,) f32 LM state (see module docstring).
+      px: (8, N) f32 packed pixel fields, N a multiple of TILE.
+      rho_prev, rho_cand: (1, N) f32 inverse-depth fields.
+
+    Returns:
+      (new_state (128,), rho_eff (1, N), rho_new (1, N)).
+    """
     tiles = px.shape[1] // TILE
-    out = pl.pallas_call(
-        _reduce_kernel,
+    return pl.pallas_call(
+        functools.partial(_iter_kernel, tiles=tiles),
         grid=(tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((8, TILE), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 1, 128), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((tiles, 1, 128), jnp.float32),
-        interpret=interpret,
-    )(params, px)
-    s = out.sum(axis=(0, 1))
-    return (_unpack_tri(s[0:28]), s[28:35], s[35], _unpack_tri(s[36:64]),
-            s[64:71])
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def lm_update(px, params, interpret: bool = False):
-    """Phase B: (rho_new (N,), candidate cost ())."""
-    tiles = px.shape[1] // TILE
-    rho_new, cost = pl.pallas_call(
-        _update_kernel,
-        grid=(tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((8, TILE), lambda i: (0, i),
+            pl.BlockSpec((1, TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, 1, TILE), lambda i: (i, 0, 0),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, TILE), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 128), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, TILE), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((tiles, 1, TILE), jnp.float32),
-            jax.ShapeDtypeStruct((tiles, 1, 128), jnp.float32),
+            jax.ShapeDtypeStruct((128,), jnp.float32),
+            jax.ShapeDtypeStruct(rho_prev.shape, jnp.float32),
+            jax.ShapeDtypeStruct(rho_prev.shape, jnp.float32),
         ),
+        scratch_shapes=[pltpu.VMEM((1, 128), jnp.float32)],
         interpret=interpret,
-    )(params, px)
-    return rho_new.reshape(-1), cost[:, 0, 0].sum()
+    )(state, px, rho_prev, rho_cand)

@@ -1,10 +1,23 @@
 """Pallas-accelerated Schur-LM refinement driver.
 
 Same objective, update rule, damping, and accept/reject logic as
-solver.refine.refine, but each LM iteration runs as two fused Pallas kernels
-(ops/pallas/refine_kernels.py) that read the packed pixel state once per
-phase.  Float32 only (the TPU production path); the f64 XLA implementation
-remains the parity reference.
+solver.refine.refine, but each LM iteration is exactly ONE fused Pallas
+kernel (ops/pallas/refine_kernels.lm_iter): depth merge + back-substitution
++ reduction + accept/reject + lambda schedule + in-kernel scalar 7x7 solve.
+The loop body contains no XLA ops at all — the whole LM state lives in a
+128-float vector produced and consumed by the kernel.  This matters doubly
+on remote-TPU runtimes where every extra sequential dispatch has a large
+fixed cost.
+
+The iteration is "pipelined": the kernel evaluates the PREVIOUS candidate's
+cost (it must sweep the pixels anyway), decides acceptance, and solves for
+the next delta in one pass; the reduction sums of the last accepted state
+ride along in the state vector (lambda-independent form), so rejected steps
+are free.  The sequence of evaluated points, accept decisions, and lambda
+updates is identical to solver.refine.refine (the f64-capable parity
+reference for Ceres' behavior, src/nonlinearRefinement.cc:183-252).
+
+Float32 only (the TPU production path).
 """
 
 from __future__ import annotations
@@ -12,8 +25,10 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from rs_sfm_tpu.ops import linalg
-from rs_sfm_tpu.ops.pallas.refine_kernels import TILE, lm_reduce, lm_update
+from rs_sfm_tpu.ops.pallas.refine_kernels import (TILE, _S_ACCEPT, _S_COST,
+                                                  _S_COST0, _S_DONE,
+                                                  _S_KKEEP, _S_LAM,
+                                                  _S_RELTOL, lm_iter)
 from rs_sfm_tpu.solver.refine import RefineResult
 
 
@@ -43,59 +58,50 @@ def refine_pallas(
 
     px = jnp.stack([
         p(coords[:, 0]), p(coords[:, 1]), p(flow[:, 0]), p(flow[:, 1]),
-        p(alpha), p(alpha_k), p(mask.astype(jnp.float32)), p(rho0),
+        p(alpha), p(alpha_k), p(mask.astype(jnp.float32)),
+        jnp.zeros(n + pad, jnp.float32),
     ])
-    k_keep = jnp.float32(1.0 if optimize_k else 0.0)
+    rho = p(rho0)[None, :]  # (1, N_pad)
 
-    def make_params(v, w, k, lam, delta=None):
-        delta = jnp.zeros(7, jnp.float32) if delta is None else delta
-        return jnp.concatenate([
-            v, w, k[None], lam[None], k_keep[None], delta]).astype(jnp.float32)
+    theta0 = jnp.concatenate([
+        jnp.asarray(v0, jnp.float32), jnp.asarray(w0, jnp.float32),
+        jnp.asarray(k0, jnp.float32)[None]])
+    state = jnp.zeros(128, jnp.float32)
+    state = state.at[0:7].set(theta0).at[7:14].set(theta0)
+    # The bootstrap sweep (active = 0: no back-substitution, delta = 0)
+    # trivially "accepts" the initial state (cost_prev = inf), dividing
+    # lambda by 3; seed 3x the target so the first real solve uses exactly
+    # init_lambda.
+    state = state.at[_S_LAM].set(3.0 * init_lambda)
+    state = state.at[_S_COST].set(jnp.inf)
+    state = state.at[_S_KKEEP].set(1.0 if optimize_k else 0.0)
+    state = state.at[_S_ACCEPT].set(1.0)
+    state = state.at[_S_RELTOL].set(rel_tol)
 
-    def step(state):
-        i, px, v, w, k, lam, cost, done = state
-        params = make_params(v, w, k, lam)
-        h_tt, g_t, _, schur_h, schur_g = lm_reduce(px, params,
-                                                   interpret=interpret)
-        diag = jnp.diagonal(h_tt)
-        h_aug = h_tt + jnp.diag(lam * (diag + 1e-12))
-        h_aug = h_aug.at[6, 6].add(1.0 - k_keep)
-        h_red = h_aug - schur_h
-        g_red = g_t - schur_g
-        delta = linalg.solve_pd_nopivot(h_red, -g_red)
+    def body(carry):
+        state, rho_prev, rho_cand = carry
+        return lm_iter(state, px, rho_prev, rho_cand, interpret=interpret)
 
-        params_b = make_params(v, w, k, lam, delta)
-        rho_new, cost_new = lm_update(px, params_b, interpret=interpret)
-
-        accept = (cost_new < cost) & jnp.isfinite(cost_new)
-        converged = accept & (cost - cost_new <= rel_tol * cost)
-        v = jnp.where(accept, v + delta[:3], v)
-        w = jnp.where(accept, w + delta[3:6], w)
-        k = jnp.where(accept, k + delta[6], k)
-        px = jnp.where(accept, px.at[7, :].set(rho_new), px)
-        cost = jnp.where(accept, cost_new, cost)
-        lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-12),
-                        lam * 4.0).astype(jnp.float32)
-        return i + 1, px, v, w, k, lam, cost, done | converged
-
-    v = jnp.asarray(v0, jnp.float32)
-    w = jnp.asarray(w0, jnp.float32)
-    k = jnp.asarray(k0, jnp.float32)
-    lam = jnp.asarray(init_lambda, jnp.float32)
-    # Initial cost from phase A (its cost slot is exact at delta = 0).
-    _, _, cost0, _, _ = lm_reduce(px, make_params(v, w, k, lam),
-                                  interpret=interpret)
-
-    def cond(state):
-        return (state[0] < iterations) & ~state[-1]
-
-    init = (jnp.int32(0), px, v, w, k, lam, cost0, jnp.bool_(False))
+    # iterations + 1 sweeps: the bootstrap evaluates the initial state; each
+    # later sweep performs one accept decision + solve.
+    init = (state, rho, rho)
     if rel_tol == 0.0:
         # Static trip count (no early stop): fori_loop compiles leaner.
-        _, px, v, w, k, lam, cost, _ = jax.lax.fori_loop(
-            0, iterations, lambda _, s: step(s), init)
+        state, rho_prev, rho_cand = jax.lax.fori_loop(
+            0, iterations + 1, lambda _, c: body(c), init)
     else:
-        _, px, v, w, k, lam, cost, _ = jax.lax.while_loop(cond, step, init)
-    rho = px[7, :n]
-    return RefineResult(v=v, w=w, k=k, inv_depth=rho, cost=cost,
-                        initial_cost=cost0)
+        def cond(c):
+            i, state = c[0], c[1]
+            return (i < iterations + 1) & (state[_S_DONE] < 0.5)
+
+        def body_i(c):
+            return (c[0] + 1,) + body(c[1:])
+
+        _, state, rho_prev, rho_cand = jax.lax.while_loop(
+            cond, body_i, (jnp.int32(0),) + init)
+
+    accept = state[_S_ACCEPT] > 0.5
+    rho_fin = jnp.where(accept, rho_cand, rho_prev)[0, :n]
+    return RefineResult(v=state[0:3], w=state[3:6], k=state[6],
+                        inv_depth=rho_fin, cost=state[_S_COST],
+                        initial_cost=state[_S_COST0])
