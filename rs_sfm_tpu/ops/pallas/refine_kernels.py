@@ -11,7 +11,19 @@ fused into a single pallas_call:
   2. depth back-substitution at the last solved delta:
      rho_new = rho_eff - (g_rho + c . delta) / (d (1+lambda));
   3. reduction of the 71 Schur/cost sums at the NEW candidate
-     (theta_cand, rho_new), accumulated in a VMEM one-hot accumulator;
+     (theta_cand, rho_new).  The 56 Gram-matrix sums (triu of sum J^T J and
+     of sum c c^T / d) run on the MXU: stack the masked Jacobian rows as
+     M1 (16, TILE) (x-component rows then y-component rows) and the
+     Schur-coupling rows as M2a/M2b (8, TILE, one side carrying 1/d); then
+     M1 M1^T and M2a M2b^T give all pairwise sums in two small matmuls,
+     accumulated in VMEM matrix accumulators across tiles.  This moves
+     ~500 VPU flops/pixel onto the systolic array.  The 15 gradient/cost
+     sums (sum J^T r, cost, sum c g_rho / d) stay on the VPU tree-sum
+     path: near convergence they cancel almost completely against each
+     other in the Schur assembly, and the MXU's sequential accumulation
+     over the 4096-long contraction loses ~3 decimal digits there
+     (measured: LM stalls at 30-50x the converged cost), while the
+     positive-semidefinite Gram diagonals are insensitive;
   4. on the final tile: accept/reject decision, lambda schedule, Schur
      assembly, and an unrolled scalar-core Gauss-Jordan solve of the damped
      7x7 system, emitting the full next LM state.
@@ -158,20 +170,24 @@ def _solve_7x8_scalar(h, b):
 
 
 def _iter_kernel(state_ref, px_ref, rho_prev_ref, rho_cand_ref,
-                 out_ref, rho_eff_ref, rho_new_ref, acc_ref,
-                 *, tiles: int):
+                 out_ref, rho_eff_ref, rho_new_ref, accj_ref, accs_ref,
+                 accv_ref, *, tiles: int):
     """One full LM iteration; see module docstring.
 
     state_ref: (128,) SMEM; px_ref: (8, TILE) VMEM;
     rho_prev/cand_ref: (1, TILE) VMEM inputs;
     out_ref: (128,) SMEM; rho_eff/new_ref: (1, TILE) VMEM outputs;
-    acc_ref: (1, 128) VMEM scratch (persists across grid steps).
+    accj_ref: (16, 128) / accs_ref: (8, 128) VMEM Gram accumulators,
+    accv_ref: (1, 128) VMEM gradient/cost accumulator (all persist across
+    grid steps; only the leading lanes are used).
     """
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _init():
-        acc_ref[0, :] = jnp.zeros((128,), jnp.float32)
+        accj_ref[:, :] = jnp.zeros((16, 128), jnp.float32)
+        accs_ref[:, :] = jnp.zeros((8, 128), jnp.float32)
+        accv_ref[0, :] = jnp.zeros((128,), jnp.float32)
 
     theta_eff = tuple(state_ref[_S_THETA + t] for t in range(7))
     theta_cand = tuple(state_ref[_S_CAND + t] for t in range(7))
@@ -214,33 +230,59 @@ def _iter_kernel(state_ref, px_ref, rho_prev_ref, rho_cand_ref,
     g_rho = (jrx * rx + jry * ry) * m
     c = [(jx[t] * jrx + jy[t] * jry) * m for t in range(7)]
 
+    # Gram reductions on the MXU (see module docstring).  Masked rows: m is
+    # 0/1, so the m^2 inside each product equals the single m of the sums.
+    # Rows 7/15 carry the residual components, giving J^T r and cost in the
+    # same matmul — those entries are discarded in favor of the VPU path.
+    m1 = jnp.concatenate(
+        [(jx[t] * m)[None, :] for t in range(7)] + [(rx * m)[None, :]]
+        + [(jy[t] * m)[None, :] for t in range(7)] + [(ry * m)[None, :]],
+        axis=0)  # (16, TILE)
+    m2a = jnp.concatenate(
+        [(c[t] * inv_d)[None, :] for t in range(7)]
+        + [(g_rho * inv_d)[None, :]], axis=0)  # (8, TILE)
+    m2b = jnp.concatenate(
+        [c[t][None, :] for t in range(7)] + [g_rho[None, :]],
+        axis=0)  # (8, TILE)
+    dn = (((1,), (1,)), ((), ()))
+    g1 = jax.lax.dot_general(m1, m1, dn,
+                             preferred_element_type=jnp.float32)  # (16, 16)
+    g2 = jax.lax.dot_general(m2a, m2b, dn,
+                             preferred_element_type=jnp.float32)  # (8, 8)
+    accj_ref[:, 0:16] += g1
+    accs_ref[:, 0:8] += g2
+
+    # Cancellation-sensitive gradient/cost sums on the VPU tree-sum path.
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    acc = jnp.zeros((1, 128), jnp.float32)
+    accv = jnp.zeros((1, 128), jnp.float32)
 
     def put(acc, idx, val):
         return acc + jnp.where(lane == idx, val, jnp.float32(0.0))
 
-    idx = 0
-    for r, s in _TRIU:
-        acc = put(acc, idx, jnp.sum((jx[r] * jx[s] + jy[r] * jy[s]) * m))
-        idx += 1
     for t in range(7):
-        acc = put(acc, 28 + t, jnp.sum((jx[t] * rx + jy[t] * ry) * m))
-    acc = put(acc, 35, jnp.sum((rx * rx + ry * ry) * m))
-    idx = 36
-    for r, s in _TRIU:
-        acc = put(acc, idx, jnp.sum(c[r] * c[s] * inv_d))
-        idx += 1
+        accv = put(accv, 28 + t, jnp.sum((jx[t] * rx + jy[t] * ry) * m))
+    accv = put(accv, 35, jnp.sum((rx * rx + ry * ry) * m))
     for t in range(7):
-        acc = put(acc, 64 + t, jnp.sum(c[t] * g_rho * inv_d))
-    acc_ref[0, :] += acc[0, :]
+        accv = put(accv, 64 + t, jnp.sum(c[t] * g_rho * inv_d))
+    accv_ref[0, :] += accv[0, :]
 
     # --- decide + solve on the last tile (scalar core) ---
     @pl.when(i == tiles - 1)
     def _decide_and_solve():
-        acc_row = acc_ref[0, :]
-        sums_cand = [jnp.sum(jnp.where(lane[0, :] == j, acc_row, 0.0))
-                     for j in range(_N_SUMS)]
+        accj = accj_ref[:, 0:16]
+        jj = accj[0:8, 0:8] + accj[8:16, 8:16]  # x + y residual components
+        ss = accs_ref[:, 0:8]
+        acc_row = accv_ref[0, :]
+        grad = [jnp.sum(jnp.where(lane[0, :] == j, acc_row, 0.0))
+                for j in range(28, 36)] + [
+                jnp.sum(jnp.where(lane[0, :] == j, acc_row, 0.0))
+                for j in range(64, 71)]
+        # Unpack into the state-vector sum layout: [0:28) triu J^T J,
+        # [28:35) J^T r, [35] cost, [36:64) triu c c^T/d, [64:71) c g_rho/d.
+        sums_cand = ([jj[r, s] for r, s in _TRIU]
+                     + grad[0:8]
+                     + [ss[r, s] for r, s in _TRIU]
+                     + grad[8:15])
         cost_prev = state_ref[_S_COST]
         rel_tol = state_ref[_S_RELTOL]
         cost_cand = sums_cand[35]
@@ -331,6 +373,8 @@ def lm_iter(state, px, rho_prev, rho_cand, interpret: bool = False):
             jax.ShapeDtypeStruct(rho_prev.shape, jnp.float32),
             jax.ShapeDtypeStruct(rho_prev.shape, jnp.float32),
         ),
-        scratch_shapes=[pltpu.VMEM((1, 128), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((16, 128), jnp.float32),
+                        pltpu.VMEM((8, 128), jnp.float32),
+                        pltpu.VMEM((1, 128), jnp.float32)],
         interpret=interpret,
     )(state, px, rho_prev, rho_cand)
