@@ -21,6 +21,41 @@ import time
 
 import numpy as np
 
+# TPU v5e single-chip peaks (public spec): 197 TFLOP/s bf16 MXU,
+# ~0.82 TB/s HBM bandwidth.  MFU below is reported against the bf16 peak —
+# the honest denominator for "how much of this chip could a perfect
+# implementation use"; most of this pipeline is f32 VPU elementwise work,
+# so its speed-of-light is the HBM/VPU roofline, not the MXU (see
+# TPU_VALIDATION.md for the per-stage roofline note).
+PEAK_FLOPS = 197e12
+PEAK_HBM_BPS = 0.82e12
+
+
+def pipeline_flops_bytes(h, w, trials, iters):
+    """Analytic FLOP/byte model of the solver pipeline (per pair).
+
+    Counts (derived in comments; elementwise ops on (N,) arrays):
+      * RANSAC scoring (ops/pallas/score.py): per hypothesis x pixel —
+        beta (~5), A·v/B·w + beta scaling (~22), residual r (2), closed-form
+        rho = a·r/|a|² (7), predicted flow (4), error norm + compare (7),
+        reductions (2) ≈ 50 FLOPs; pixel record is read from HBM once per
+        hypothesis *block* of 128 (8 f32 fields).
+      * Schur-LM refinement (ops/pallas/refine_kernels.py): per iteration x
+        pixel — pixel terms + 7x2 Jacobian rows (~250 VPU FLOPs), 16x16 MXU
+        Gram (2·16·16 = 512) + 8x8 Gram (128); ~8 f32 fields of HBM traffic
+        per iteration.
+      * backprojection + depth raster + prepare: ~150 FLOPs/px, ~3 passes of
+        ~24 B/px.
+    """
+    n = h * w
+    score_f = 50.0 * trials * n
+    score_b = 32.0 * n * max(1, trials // 128)
+    refine_f = iters * n * (250.0 + 512.0 + 128.0)
+    refine_b = iters * 32.0 * n
+    misc_f = 150.0 * n
+    misc_b = 3 * 24.0 * n
+    return score_f + refine_f + misc_f, score_b + refine_b + misc_b
+
 
 def main():
     import os
@@ -106,12 +141,20 @@ def main():
 
     pairs_per_s = 1.0 / dt
     baseline_pairs_per_s = 1.0 / 130.0
+    flops, bytes_ = pipeline_flops_bytes(h, w, cfg.ransac_trials,
+                                         cfg.refine_iterations)
     result = {
         "metric": "rs_sfm_fullhd_pairs_per_s_per_chip",
         "value": round(pairs_per_s, 4),
-        "unit": "frame-pairs/s (1920x1080, 256-hypothesis two-stage RANSAC + "
-                "50-iter Schur-LM refine + rectify; GT-flow path)",
+        "unit": "frame-pairs/s (1920x1080, 256-hypothesis Pallas-scored "
+                "RANSAC, every hypothesis on all pixels + 50-iter fused "
+                "Pallas Schur-LM refine + rectify; GT-flow path)",
         "vs_baseline": round(pairs_per_s / baseline_pairs_per_s, 1),
+        # Analytic roofline accounting (see pipeline_flops_bytes):
+        "mfu": round(flops * pairs_per_s / PEAK_FLOPS, 4),
+        "hbm_frac": round(bytes_ * pairs_per_s / PEAK_HBM_BPS, 4),
+        "model_gflop_per_pair": round(flops / 1e9, 1),
+        "model_gb_per_pair": round(bytes_ / 1e9, 2),
     }
     print(json.dumps(result))
 

@@ -135,10 +135,12 @@ def cmd_single_run(args):
         use_refinement=not args.no_refinement)
     gamma = args.gamma if args.gamma is not None else (pair.gamma or 0.9)
 
-    from rs_sfm_tpu.flow.dense import DenseFlowConfig
+    from rs_sfm_tpu.models import get_flow_preset
 
-    flow_cfg = DenseFlowConfig(warp_engine=args.warp_engine,
-                               census_weight=args.census_weight)
+    flow_cfg = get_flow_preset(args.flow_model,
+                               warp_engine=args.warp_engine)
+    if args.census_weight:
+        flow_cfg = flow_cfg._replace(census_weight=args.census_weight)
     pixel_mask = None
     if use_flow and args.occlusion_mask:
         from rs_sfm_tpu.flow.dense import flow_forward_backward
@@ -190,6 +192,12 @@ def cmd_single_run(args):
 
         iio.imwrite(os.path.join(out_dir, "error_image.png"),
                     artifacts.error_image(rect.coords_3d, true3d, rect.valid))
+        if pair.frame1.gs_image is not None:
+            # Synthetic-only difference/remainder/overlay set
+            # (reference src/main.cc:533-556).
+            for name, img in artifacts.synthetic_eval_images(
+                    pair.frame1.rs_image, pair.frame1.gs_image, gs).items():
+                iio.imwrite(os.path.join(out_dir, name), img)
 
 
 def cmd_sweep(args):
@@ -251,10 +259,17 @@ def cmd_sweep(args):
         print(f"\nExecuting task {task}...")
         pair = load_synthetic_pair(os.path.join(path, task))
         image_path = os.path.join(results_dir, "depthMaps", str(i))
+        from rs_sfm_tpu.models import get_flow_preset
+
+        flow_cfg = get_flow_preset(args.flow_model,
+                                   warp_engine=args.warp_engine)
+        if args.census_weight:
+            flow_cfg = flow_cfg._replace(census_weight=args.census_weight)
         errs = evaluate_velocities(
             pair, cfg, num_evaluations=args.num_evaluations,
             use_deep_flow=args.deep_flow,
-            key=jax.random.PRNGKey(args.seed + i), image_path=image_path)
+            key=jax.random.PRNGKey(args.seed + i), image_path=image_path,
+            flow_cfg=flow_cfg, use_occlusion_mask=args.occlusion_mask)
         errors_f.write(f"{task},{errs.error_w},{errs.error_v},"
                        f"{errs.error_reproject}\n")
         n = errs.k.shape[0]
@@ -347,6 +362,9 @@ def main(argv=None):
         p.add_argument("--global-shutter", action="store_true")
         p.add_argument("--no-refinement", action="store_true")
         p.add_argument("--deep-flow", action="store_true")
+        p.add_argument("--flow-model", default="variational",
+                       help="dense-flow preset from rs_sfm_tpu.models "
+                            "(variational / fast / robust)")
         p.add_argument("--warp-engine", choices=("xla", "pallas"),
                        default="xla",
                        help="dense-flow warp kernel (pallas = blocked TPU "

@@ -75,6 +75,14 @@ class PipelineConfig:
     # "pallas" = fused TPU kernels (float32, single device).
     refine_engine: str = "xla"
     ransac_engine: str = "xla"
+    # Multi-start refinement (NOT in the reference; divergence documented in
+    # README): refine the top-J RANSAC hypotheses independently and keep the
+    # one whose refined model re-scores best (#inliers desc, error asc).
+    # On noisy estimated flow the minimal-sample winner often sits in the
+    # wrong basin of the translation/rotation ambiguity and LM cannot
+    # escape; J=4 collapses that seed variance.  1 = reference behavior
+    # (refine only the winner).  Cost: J refinements instead of one.
+    refine_starts: int = 1
     # Two-stage RANSAC scoring: rank hypotheses on this many stratified
     # pixels, full-score only the top ransac_prescore_keep (0 = score all
     # hypotheses on all pixels, the reference's behavior).

@@ -43,12 +43,65 @@ def error_image(est_3d, true_3d, valid, max_norm: float = 3.0) -> np.ndarray:
     return np.clip(np.round(255.0 * dist / max_norm), 0, 255).astype(np.uint8)
 
 
-def overlay_image(base, overlay, shift_channel: int = 0) -> np.ndarray:
-    """Blue-deviation overlay: keep base, replace one channel with overlay's
-    (reference createOverlayImage/shiftChannelBGR, src/camera.cc:777-839)."""
-    out = np.asarray(base).copy()
-    out[..., shift_channel] = np.asarray(overlay)[..., shift_channel]
-    return out
+def shift_channels(img, *, r: float = 1.0, g: float = 1.0,
+                   b: float = 1.0) -> np.ndarray:
+    """Per-channel gain with [0,255] clipping (reference
+    Camera::shiftChannelBGR, src/camera.cc:777-815; the reference's channel
+    order is BGR — arguments here are named by color instead)."""
+    img = np.asarray(img, dtype=np.float64)
+    out = img * np.array([r, g, b], dtype=np.float64)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def overlay_image(base, shift, black_threshold: float = 15.0) -> np.ndarray:
+    """Norm-weighted blend of a deviation image onto a base image: where the
+    deviation pixel's norm exceeds the black threshold, blend with weight
+    ||base|| / (||base|| + ||shift||); keep the base elsewhere (reference
+    Camera::createOverlayImage, src/camera.cc:817-839)."""
+    base = np.asarray(base, dtype=np.float64)
+    shift = np.asarray(shift, dtype=np.float64)
+    n_b = np.linalg.norm(base, axis=-1, keepdims=True)
+    n_s = np.linalg.norm(shift, axis=-1, keepdims=True)
+    mult = n_b / np.maximum(n_b + n_s, 1e-12)
+    blended = mult * base + (1.0 - mult) * shift
+    out = np.where(n_s > black_threshold, blended, base)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def abs_difference(a, b) -> np.ndarray:
+    """Saturating |a − b| on uint8 images (reference main.cc:543-546
+    `abs(backprojection-original_gs)` with cv::Mat uint8 semantics)."""
+    a = np.asarray(a, dtype=np.int16)
+    b = np.asarray(b, dtype=np.int16)
+    return np.clip(np.abs(a - b), 0, 255).astype(np.uint8)
+
+
+def synthetic_eval_images(rs_image, gs_image, backprojection) -> dict:
+    """The synthetic-only evaluation artifact set of evaluateSingleRun
+    (reference src/main.cc:533-556): difference, remainder, blue-deviation
+    overlays of GS-vs-RS and GS-vs-backprojection.
+
+    All inputs uint8 (H, W, 3); returns {filename: uint8 image}.
+    """
+    rs = to_uint8(rs_image)
+    gs = to_uint8(gs_image)
+    bp = to_uint8(backprojection)
+    difference = abs_difference(bp, gs)
+    remainder = abs_difference(gs, difference)
+    warp_shift = abs_difference(rs, gs)
+    # The reference emphasizes the deviation in blue: gain 2 on blue,
+    # 0.5 on the other channels (src/main.cc:548-553).
+    overlay_gs_rs = overlay_image(
+        gs, shift_channels(warp_shift, r=0.5, g=0.5, b=2.0))
+    overlay_gs_bp = overlay_image(
+        gs, shift_channels(difference, r=0.5, g=0.5, b=2.0))
+    return {
+        "gs_image.png": gs,
+        "difference.png": difference,
+        "remainder.png": remainder,
+        "overlay_gs_rs.png": overlay_gs_rs,
+        "overlay_gs_bp.png": overlay_gs_bp,
+    }
 
 
 def to_uint8(img) -> np.ndarray:

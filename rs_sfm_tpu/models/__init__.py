@@ -1,41 +1,38 @@
-"""Dense optical-flow model families.
+"""Dense optical-flow model presets.
 
 The reference has exactly one interchangeable "model": the dense flow
 estimator (OpenCV DeepFlow, src/camera.cc:253-277), with ground-truth
 reprojection flow as its drop-in test double (src/camera.cc:209-249).  This
-package keeps that seam explicit as a registry of flow model families so
-estimators can be swapped per dataset/quality target:
+package keeps that seam explicit as a registry of named DenseFlowConfig
+presets, selectable via `--flow-model` on the CLI and `flow_cfg` in the
+evaluation harness:
 
   variational  pyramidal warping flow (DeepFlow-class; flow/dense.py)
   fast         low-iteration variational preset for previews/video
-  true         ground-truth reprojection flow (needs GT unprojection maps)
+  robust       census data term + structure-texture + occlusion-grade
+               settings for real imagery / stress scenes
 """
 
 from __future__ import annotations
 
-from typing import Callable, Dict
+from typing import Dict
 
-from rs_sfm_tpu.flow.dense import DenseFlowConfig, dense_flow
+from rs_sfm_tpu.flow.dense import DenseFlowConfig
 
-
-def _variational(i1, i2):
-    return dense_flow(i1, i2, DenseFlowConfig())
-
-
-def _fast(i1, i2):
-    return dense_flow(i1, i2, DenseFlowConfig(levels=4, warps=2, iters=24))
-
-
-FLOW_MODELS: Dict[str, Callable] = {
-    "variational": _variational,
-    "fast": _fast,
+FLOW_PRESETS: Dict[str, DenseFlowConfig] = {
+    "variational": DenseFlowConfig(),
+    "fast": DenseFlowConfig(levels=4, warps=2, iters=24),
+    "robust": DenseFlowConfig(census_weight=1.0, struct_texture=0.9),
 }
 
 
-def get_flow_model(name: str) -> Callable:
+def get_flow_preset(name: str, **overrides) -> DenseFlowConfig:
+    """Look up a flow preset by name, optionally overriding fields
+    (e.g. ``get_flow_preset("robust", warp_engine="pallas")``)."""
     try:
-        return FLOW_MODELS[name]
+        preset = FLOW_PRESETS[name]
     except KeyError:
         raise KeyError(
-            f"unknown flow model {name!r}; known: {sorted(FLOW_MODELS)}"
+            f"unknown flow model {name!r}; known: {sorted(FLOW_PRESETS)}"
         ) from None
+    return preset._replace(**overrides) if overrides else preset

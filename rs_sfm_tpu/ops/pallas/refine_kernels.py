@@ -244,11 +244,20 @@ def _iter_kernel(state_ref, px_ref, rho_prev_ref, rho_cand_ref,
     m2b = jnp.concatenate(
         [c[t][None, :] for t in range(7)] + [g_rho[None, :]],
         axis=0)  # (8, TILE)
+    # Precision.HIGHEST forces full-f32 MXU passes (default would allow
+    # bf16-truncated operands); the Gram sums feed the cancellation-prone
+    # Schur assembly (sums[tri] - sums[36+tri]*s at small lambda), so the
+    # truncation error would surface as LM stalls.  Hardware check:
+    # scripts/tpu_validate.py compares the converged LM cost of this kernel
+    # against the XLA (VPU) engine on the real chip (see its report in
+    # TPU_VALIDATION.md).
     dn = (((1,), (1,)), ((), ()))
     g1 = jax.lax.dot_general(m1, m1, dn,
-                             preferred_element_type=jnp.float32)  # (16, 16)
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)  # (16, 16)
     g2 = jax.lax.dot_general(m2a, m2b, dn,
-                             preferred_element_type=jnp.float32)  # (8, 8)
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)  # (8, 8)
     accj_ref[:, 0:16] += g1
     accs_ref[:, 0:8] += g2
 

@@ -100,23 +100,63 @@ def estimate_from_flow(
         tolerance=cfg.ransac_tol, chunk=cfg.ransac_chunk,
         engine=cfg.ransac_engine if axis_name is None else "xla",
         prescore_subsample=cfg.ransac_prescore_subsample,
-        prescore_keep=cfg.ransac_prescore_keep)
+        prescore_keep=cfg.ransac_prescore_keep,
+        top_j=cfg.refine_starts if cfg.use_refinement else 1)
 
-    if cfg.use_refinement:
+    def run_refine(inlier_mask, v0, w0, k0, rho0):
         if cfg.refine_engine == "pallas" and axis_name is None:
             from rs_sfm_tpu.solver.refine_pallas import refine_pallas
 
-            ref = refine_pallas(
-                coords, flow_n, alpha, alpha_k, rr.inlier_mask,
-                rr.v, rr.w, rr.k, rr.inv_depth,
+            return refine_pallas(
+                coords, flow_n, alpha, alpha_k, inlier_mask,
+                v0, w0, k0, rho0,
                 optimize_k=use_k, iterations=cfg.refine_iterations,
                 rel_tol=cfg.refine_rel_tol)
-        else:
-            ref = refine(
-                coords, flow_n, alpha, alpha_k, rr.inlier_mask,
-                rr.v, rr.w, rr.k, rr.inv_depth,
-                optimize_k=use_k, iterations=cfg.refine_iterations,
-                rel_tol=cfg.refine_rel_tol, axis_name=axis_name)
+        return refine(
+            coords, flow_n, alpha, alpha_k, inlier_mask,
+            v0, w0, k0, rho0,
+            optimize_k=use_k, iterations=cfg.refine_iterations,
+            rel_tol=cfg.refine_rel_tol, axis_name=axis_name)
+
+    if cfg.use_refinement and cfg.refine_starts > 1:
+        # Multi-start: refine each of the top-J hypotheses from its own
+        # inlier set, re-score every refined model against all pixels, keep
+        # the lexicographic best (see PipelineConfig.refine_starts).
+        from rs_sfm_tpu.solver.ransac import _score_hypotheses
+
+        best = None
+        for j in range(cfg.refine_starts):
+            v_j, w_j, k_j = rr.top_v[j], rr.top_w[j], rr.top_k[j]
+            _, _, rho_j, inl_j = _score_hypotheses(
+                coords, flow_n, alpha, alpha_k, valid,
+                v_j[None], w_j[None], k_j[None], cfg.ransac_tol)
+            ref_j = run_refine(inl_j[0], v_j, w_j, k_j, rho_j[0])
+            num_j, err_j, rho_rj, inl_rj = _score_hypotheses(
+                coords, flow_n, alpha, alpha_k, valid,
+                ref_j.v[None], ref_j.w[None], ref_j.k[None], cfg.ransac_tol)
+            cand = (num_j[0], err_j[0], ref_j, rho_rj[0], inl_rj[0])
+            if best is None:
+                best = cand
+            else:
+                take = (cand[0] > best[0]) | (
+                    (cand[0] == best[0]) & (cand[1] < best[1]))
+
+                def pick(a, b):
+                    return jnp.where(take, a, b)
+
+                best = jax.tree_util.tree_map(pick, cand, best)
+        _, _, ref, rho_best, inlier_best = best
+        v, w, k = ref.v, ref.w, ref.k
+        # Use the closed-form ρ at the refined motion (identical optimum to
+        # the LM per-pixel depths, but defined consistently with the
+        # re-scored inlier set below).
+        rho = rho_best
+        refine_cost = ref.cost
+        # The winning start's refined inlier set replaces the RANSAC one for
+        # depth rasterization and sign disambiguation below.
+        rr = rr._replace(inlier_mask=inlier_best, num_inliers=best[0])
+    elif cfg.use_refinement:
+        ref = run_refine(rr.inlier_mask, rr.v, rr.w, rr.k, rr.inv_depth)
         v, w, k, rho = ref.v, ref.w, ref.k, ref.inv_depth
         refine_cost = ref.cost
     else:

@@ -45,6 +45,11 @@ class RansacResult(NamedTuple):
     inlier_mask: jax.Array  # (N,) bool — residual < tol and pixel valid
     num_inliers: jax.Array  # () int32
     inlier_error: jax.Array  # () summed residual over inliers
+    # Top-J hypotheses by composite score (J = the ransac(top_j=...) arg,
+    # default 1): multi-start refinement inputs (solver.pipeline).
+    top_v: jax.Array = None  # (J, 3)
+    top_w: jax.Array = None  # (J, 3)
+    top_k: jax.Array = None  # (J,)
 
 
 def sample_valid_indices(key, valid_mask, trials: int, count: int = 9):
@@ -105,6 +110,7 @@ def ransac(
     prescore_subsample: int = 0,
     prescore_keep: int = 16,
     compat_negate_k: bool = False,
+    top_j: int = 1,
 ) -> RansacResult:
     """Batched RANSAC (reference minimal::ransac, src/minimal.cc:209-306).
 
@@ -131,6 +137,9 @@ def ransac(
         winning hypothesis is still scored exactly on all pixels; only the
         shortlist selection is approximate.
       prescore_keep: shortlist size for the full-scoring stage.
+      top_j: additionally expose the J best-scoring hypotheses in
+        RansacResult.top_{v,w,k} for multi-start refinement (the winner is
+        always top_v[0] when J == 1).
 
     Returns:
       RansacResult for the lexicographically best hypothesis.
@@ -248,6 +257,16 @@ def ransac(
     num_b, ierr_b, rho_b, inlier_b = _score_hypotheses(
         coords, flow, alpha, alpha_k, valid_mask,
         v_b[None], w_b[None], k_b[None], tolerance)
+
+    if top_j > 1:
+        # Multi-start support: also expose the top-J hypotheses by the same
+        # composite score, for downstream refine-and-rescore selection
+        # (solver.pipeline with PipelineConfig.refine_starts > 1).
+        tops = jax.lax.top_k(score, top_j)[1]
+        top_v, top_w, top_k = v_all[tops], w_all[tops], k_all[tops]
+    else:
+        top_v, top_w, top_k = v_b[None], w_b[None], k_b[None]
+
     return RansacResult(
         v=v_b,
         w=w_b,
@@ -256,4 +275,7 @@ def ransac(
         inlier_mask=inlier_b[0],
         num_inliers=num_b[0],
         inlier_error=ierr_b[0],
+        top_v=top_v,
+        top_w=top_w,
+        top_k=top_k,
     )

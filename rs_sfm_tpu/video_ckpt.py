@@ -94,7 +94,13 @@ def process_video_checkpointed(
             fw = flows_np[lo:hi]
             pad = window - fw.shape[0]
             if pad:
-                fw = np.concatenate([fw, np.zeros_like(fw[:pad])], axis=0)
+                # Explicitly shaped zeros: `fw[:pad]` would under-pad when
+                # the tail window holds fewer than `pad` pairs (e.g. 5 pairs,
+                # window=4 → tail has 1 pair but pad=3), breaking the
+                # fixed-shape contract of the jitted graph.
+                fw = np.concatenate(
+                    [fw, np.zeros((pad,) + fw.shape[1:], dtype=fw.dtype)],
+                    axis=0)
             wkey = jax.random.fold_in(key, wi)
             out = run(jnp.asarray(fw), wkey)
             res = VideoResult(*_to_host(out))

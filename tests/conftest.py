@@ -12,6 +12,19 @@ honored because no backend has been initialized yet at conftest time.
 
 import os
 
+# A long pytest run compiles hundreds of CPU executables; LLVM's JIT creates
+# several memory mappings per executable and the kernel default
+# vm.max_map_count (65530) is low enough to fail mid-suite with
+# "LLVM compilation error: Cannot allocate memory" → SIGSEGV.  Raise it when
+# we can (tests run as root in CI); ignore failures elsewhere.
+try:
+    with open("/proc/sys/vm/max_map_count") as _f:
+        if int(_f.read()) < 1_000_000:
+            with open("/proc/sys/vm/max_map_count", "w") as _g:
+                _g.write("1048576")
+except OSError:
+    pass
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -88,6 +88,27 @@ def test_video_checkpoint_resume(tmp_path):
     np.testing.assert_allclose(np.asarray(res2.ok), np.asarray(res1.ok))
 
 
+def test_video_checkpoint_short_tail_window(tmp_path):
+    """A tail window smaller than window/2 (5 pairs, window=4 -> tail has 1
+    pair, pad=3 > tail size) must pad to the full static window shape; the
+    round-1 `zeros_like(fw[:pad])` under-padded exactly this case."""
+    from rs_sfm_tpu.video_ckpt import process_video_checkpointed
+
+    flows, intr = _flows(5)
+    cfg = PipelineConfig(ransac_trials=32, ransac_tol=0.01,
+                         refine_iterations=10)
+    res = process_video_checkpointed(
+        flows, intr, GAMMA, cfg, jax.random.PRNGKey(0),
+        ckpt_dir=str(tmp_path / "ckpt4"), window=4)
+    assert res.v.shape == (5, 3)
+    assert bool(res.ok.all())
+    # The padded tail pair still recovers the true motion direction.
+    v_unit = V / np.linalg.norm(V)
+    ang = np.arccos(np.clip(
+        np.asarray(res.v[4]) @ v_unit / np.linalg.norm(res.v[4]), -1, 1))
+    assert ang < 0.05
+
+
 def test_video_checkpoint_partial_resume(tmp_path):
     """A fresh directory computes everything; interrupting after window 0
     (simulated by a callback exception) resumes at window 1."""
