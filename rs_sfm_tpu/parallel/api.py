@@ -7,13 +7,17 @@ Two complementary paths:
       blocks) over `pixels`, and let XLA partition the elementwise pixel
       work and insert the collectives.  This is the idiomatic TPU path: the
       pipeline is reductions + elementwise ops, exactly what GSPMD
-      propagates well.
+      propagates well.  Verified (scripts/check_gspmd_sharding.py, 8-device
+      (2 pairs x 4 pixels) mesh, 256px/256 trials): the optimized module
+      contains 8 all-reduces + 1 small all-gather + 1 collective-permute
+      and NO pixel-scale all-gathers — XLA keeps the pixel axis sharded
+      through the reshape/RANSAC/refine chain.
 
   estimate_sharded — explicit shard_map over scanline blocks for one pair:
       pixel arrays arrive pre-sharded, RANSAC hypotheses are generated from
-      an all-gathered stratified pixel pool (so 9-point samples span the
-      whole image, not one block), scoring reduces with psum, and the
-      refinement's 7x7 Schur system aggregates with psum — the
+      a globally shared stratified pixel pool (so 9-point samples span the
+      whole image, not one block), scoring reduces votes in one psum, and
+      the refinement's 7x7 Schur system aggregates with psum — the
       "distributed Schur" component named in BASELINE.json.
 """
 
@@ -80,10 +84,12 @@ def estimate_sharded(mesh: Mesh, intr: Intrinsics, gamma,
     with image rows sharded across devices:
 
       * per-shard flattening/normalization (local rows);
-      * RANSAC sample pool: `pool_per_shard` stratified pixels all-gathered
-        across shards — hypotheses are identical on every shard (same key),
-        so the tiny 9-point solves are replicated, not communicated;
-      * scoring/depth: local pixels, psum'd inlier counts/errors;
+      * RANSAC sample pool: `pool_per_shard` stratified pixels shared
+        across shards (scatter + psum → replicated-typed) — hypotheses are
+        identical on every shard (same key), so the tiny 9-point solves are
+        replicated, not communicated;
+      * scoring/depth: local pixels; votes reduce in ONE psum of the
+        (T, 2) vote table per RANSAC, not per hypothesis;
       * refinement: solver.refine with axis_name, whose pixel reductions
         (the 7x7 Schur system and gradient) become psums over ICI.
 
@@ -115,14 +121,24 @@ def estimate_sharded(mesh: Mesh, intr: Intrinsics, gamma,
         if cfg.use_global_shutter:
             alpha = jnp.ones_like(alpha)
 
-        # --- RANSAC over an all-gathered stratified pool ---
+        # --- RANSAC over a globally shared stratified pool ---
+        # Gather via place-local-block + psum instead of all_gather: the
+        # communication volume is identical, but psum's output is
+        # *replicated-typed* under the varying-axes analysis, so everything
+        # downstream (hypotheses, the refined motion) is provably
+        # replicated and shard_map's out_specs checking stays ON.
         pc, pf, pa, pak, pv = _stratified_pool(
             coords, flow_n, alpha, alpha_k, valid, pool_per_shard)
-        pc = jax.lax.all_gather(pc, axis, tiled=True)
-        pf = jax.lax.all_gather(pf, axis, tiled=True)
-        pa = jax.lax.all_gather(pa, axis, tiled=True)
-        pak = jax.lax.all_gather(pak, axis, tiled=True)
-        pv = jax.lax.all_gather(pv, axis, tiled=True)
+        slot = jax.lax.axis_index(axis) * pool_per_shard
+
+        def share(x):
+            full = jnp.zeros((n_shards * pool_per_shard,) + x.shape[1:],
+                             x.dtype)
+            full = jax.lax.dynamic_update_slice_in_dim(full, x, slot, 0)
+            return jax.lax.psum(full, axis)
+
+        pc, pf, pa, pak = share(pc), share(pf), share(pa), share(pak)
+        pv = share(pv.astype(jnp.int32)) > 0
 
         counts = jnp.cumsum(pv.astype(jnp.int32))
         total = jnp.maximum(counts[-1], 1)
@@ -144,19 +160,41 @@ def estimate_sharded(mesh: Mesh, intr: Intrinsics, gamma,
             w_h, v_h, k_h = calculate_velocities(q9, u9, a9, ak9, False)
             valid_h = jnp.ones(w_h.shape[:1], dtype=bool)
 
-        # Score hypotheses on local pixels; reduce votes across shards.
+        # Score hypotheses on local pixels in chunks (memory: chunk × N_loc
+        # residual grid), accumulating LOCAL per-hypothesis votes; the
+        # cross-shard reduction is ONE psum of the stacked (T, 2) vote
+        # table after the scan — not two scalar psums per hypothesis, which
+        # would serialize ~2·T collectives on real ICI.
+        chunk = min(cfg.ransac_chunk, v_h.shape[0])
+        pad = (-v_h.shape[0]) % chunk
+        v_p = jnp.concatenate([v_h, jnp.zeros((pad, 3), v_h.dtype)])
+        w_p = jnp.concatenate([w_h, jnp.zeros((pad, 3), w_h.dtype)])
+        k_p = jnp.concatenate([k_h, jnp.zeros((pad,), k_h.dtype)])
+
         def score(carry, hyp):
-            v_c, w_c, k_c = hyp
-            rho = estimate_inverse_depth(coords, flow_n, v_c, w_c, k_c,
-                                         alpha, alpha_k)
-            u_est = predict_flow(coords, rho, v_c, w_c, k_c, alpha, alpha_k)
-            err = jnp.linalg.norm(u_est - flow_n, axis=-1)
-            inl = (err < cfg.ransac_tol) & valid & jnp.isfinite(err)
-            num = jax.lax.psum(jnp.sum(inl), axis)
-            ierr = jax.lax.psum(jnp.sum(jnp.where(inl, err, 0.0)), axis)
+            v_c, w_c, k_c = hyp  # (chunk, 3)/(chunk,)
+            rho = estimate_inverse_depth(
+                coords[None], flow_n[None], v_c[:, None], w_c[:, None],
+                k_c[:, None], alpha[None], alpha_k[None])  # (chunk, N_loc)
+            u_est = predict_flow(coords[None], rho, v_c[:, None],
+                                 w_c[:, None], k_c[:, None], alpha[None],
+                                 alpha_k[None])
+            err = jnp.linalg.norm(u_est - flow_n[None], axis=-1)
+            inl = (err < cfg.ransac_tol) & valid[None] & jnp.isfinite(err)
+            num = jnp.sum(inl, axis=-1)
+            ierr = jnp.sum(jnp.where(inl, err, 0.0), axis=-1)
             return carry, (num, ierr)
 
-        _, (nums, ierrs) = jax.lax.scan(score, None, (v_h, w_h, k_h))
+        _, (nums_loc, ierrs_loc) = jax.lax.scan(
+            score, None,
+            (v_p.reshape(-1, chunk, 3), w_p.reshape(-1, chunk, 3),
+             k_p.reshape(-1, chunk)))
+        t = v_h.shape[0]
+        votes = jnp.stack([nums_loc.reshape(-1)[:t].astype(ierrs_loc.dtype),
+                           ierrs_loc.reshape(-1)[:t]], axis=-1)  # (T, 2)
+        votes = jax.lax.psum(votes, axis)  # ONE collective per RANSAC
+        nums = votes[:, 0].astype(jnp.int32)
+        ierrs = votes[:, 1]
         nums = jnp.where(valid_h, nums, -1)
         big = jnp.asarray(
             coords.shape[0] * n_shards * cfg.ransac_tol + 1.0, ierrs.dtype)
@@ -199,15 +237,10 @@ def estimate_sharded(mesh: Mesh, intr: Intrinsics, gamma,
     def run(flow, key):
         h = flow.shape[0]
         row0 = (jnp.arange(n_shards) * (h // n_shards)).astype(flow.dtype)
-        # check_vma=False: the scalar outputs are mathematically replicated
-        # (they come from psum-reduced scores and identical per-shard
-        # hypothesis solves over all-gathered pools), but the varying-axes
-        # analysis cannot prove replication through all_gather + argmax.
         fn = jax.shard_map(
             body, mesh=mesh,
             in_specs=(P(axis, None, None), P(), P(axis)),
             out_specs=(P(), P(), P(), P(axis, None), P(axis, None), P()),
-            check_vma=False,
         )
         return fn(flow, key, row0)
 
