@@ -28,6 +28,8 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -38,12 +40,19 @@ from rs_sfm_tpu.ops import linalg
 
 
 class Scene(NamedTuple):
-    """Textured rectangles: X(a, b) = origin + a·edge1 + b·edge2, a,b ∈ [0,1]."""
+    """Textured rectangles: X(a, b) = origin + a·edge1 + b·edge2, a,b ∈ [0,1].
+
+    velocity (optional): per-rectangle world velocity (units per frame
+    interval) for INDEPENDENTLY MOVING objects — the rigid-scene assumption
+    breaker used by the stress scenes (the reference's dominant real-world
+    failure mode, examples/README.md:14).  None/zeros = static scene.
+    """
 
     origins: jax.Array  # (P, 3)
     edge1: jax.Array    # (P, 3)
     edge2: jax.Array    # (P, 3)
     base_color: jax.Array  # (P, 3) in [0, 1]
+    velocity: jax.Array = None  # (P, 3) or None (static)
 
 
 class SyntheticFrame(NamedTuple):
@@ -55,6 +64,7 @@ class SyntheticFrame(NamedTuple):
     gs_unproject: jax.Array  # (H, W, 3)
     poses_r: jax.Array      # (H, 3, 3) world→camera per scanline (GT)
     poses_t: jax.Array      # (H, 3)
+    mover_mask: jax.Array = None  # (H, W) bool — RS pixel hit a moving prim
 
 
 class SyntheticPair(NamedTuple):
@@ -146,23 +156,42 @@ def _texture(prim_id, a, b, base_color):
     return jnp.clip(col, 0.02, 0.98)
 
 
-def _intersect(scene: Scene, origin, direction):
+def _intersect(scene: Scene, origin, direction, time=None):
     """Nearest-hit ray casting against all rectangles.
 
     Args:
       origin: (..., 3) ray origins (world).
       direction: (..., 3) ray directions (world; scaled so that the camera
         z equals the ray parameter t — i.e. d = Rᵀ·d_cam with d_cam.z = 1).
+      time: (...,) per-ray capture time (frame intervals) — moving
+        primitives (scene.velocity) are displaced by time·velocity, so each
+        scanline sees the mover where it is AT ITS OWN readout instant.
 
     Returns:
-      (depth (...,), world_point (..., 3), color (..., 3), hit (...,)).
+      (depth (...,), world_point (..., 3), color (..., 3), hit (...,),
+       mover (...,) bool — nearest hit was a moving primitive).
     """
     dtype = origin.dtype
     best_t = jnp.full(origin.shape[:-1], jnp.inf, dtype=dtype)
     best_color = jnp.ones(origin.shape[:-1] + (3,), dtype=dtype) / 255.0
+    best_mover = jnp.zeros(origin.shape[:-1], dtype=bool)
     num_prims = scene.origins.shape[0]
+    # Per-primitive static/moving decided at trace time (concrete scene
+    # constants); a traced velocity conservatively treats every prim as
+    # moving (correct, just loses the static fast path).
+    if scene.velocity is None or time is None:
+        moving_flags = [False] * num_prims
+    else:
+        try:
+            moving_flags = list(
+                (np.asarray(scene.velocity) != 0.0).any(axis=1))
+        except Exception:
+            moving_flags = [True] * num_prims
     for p in range(num_prims):
         p0 = scene.origins[p]
+        moving = moving_flags[p]
+        if moving:
+            p0 = p0 + time[..., None] * scene.velocity[p]
         e1 = scene.edge1[p]
         e2 = scene.edge2[p]
         n = jnp.cross(e1, e2)
@@ -179,11 +208,12 @@ def _intersect(scene: Scene, origin, direction):
         color = _texture(jnp.asarray(p), a, b, scene.base_color[p])
         best_color = jnp.where(closer[..., None], color, best_color)
         best_t = jnp.where(closer, t, best_t)
+        best_mover = jnp.where(closer, moving, best_mover)
     hit = jnp.isfinite(best_t)
     depth = jnp.where(hit, best_t, jnp.zeros_like(best_t))
     world = jnp.where(hit[..., None], origin + best_t[..., None] * direction,
                       jnp.zeros_like(origin))
-    return depth, world, best_color, hit
+    return depth, world, best_color, hit, best_mover
 
 
 def _row_poses(r0, t0, v, w, betas):
@@ -195,10 +225,12 @@ def _row_poses(r0, t0, v, w, betas):
     return r, t
 
 
-def _render(scene, intr: Intrinsics, rows, cols, r_rows, t_rows, dtype):
+def _render(scene, intr: Intrinsics, rows, cols, r_rows, t_rows, dtype,
+            times=None):
     """Render an image where row y uses pose (r_rows[y], t_rows[y]).
 
     Passing broadcasted single poses renders a global-shutter image.
+    times: optional (H,) per-scanline capture times for moving primitives.
     """
     ys, xs = jnp.meshgrid(jnp.arange(rows, dtype=dtype),
                           jnp.arange(cols, dtype=dtype), indexing="ij")
@@ -214,8 +246,12 @@ def _render(scene, intr: Intrinsics, rows, cols, r_rows, t_rows, dtype):
     o = -jnp.einsum("hij,hj->hi", r_inv, t_rows)  # (H, 3)
     d_world = jnp.einsum("hij,hwj->hwi", r_inv, d_cam)  # (H, W, 3)
     origin = jnp.broadcast_to(o[:, None, :], d_world.shape)
-    depth, world, color, hit = _intersect(scene, origin, d_world)
-    return color, depth, world
+    tgrid = None
+    if times is not None:
+        tgrid = jnp.broadcast_to(times[:, None], d_world.shape[:2])
+    depth, world, color, hit, mover = _intersect(
+        scene, origin, d_world, time=tgrid)
+    return color, depth, world, mover
 
 
 def render_pair(
@@ -259,21 +295,105 @@ def render_pair(
     for beta_fn in (beta1, beta2):
         betas = beta_fn(idx, rows, gamma, k)
         r_rows, t_rows = _row_poses(r0, t0, v, w, betas)
-        rs_img, rs_depth, rs_unproj = _render(
-            scene, intr, rows, cols, r_rows, t_rows, dtype)
-        # GS image at this frame's scanline-0 pose.
+        # Moving primitives are displaced by the same β-parameterized time
+        # the camera trajectory uses (their velocity is per frame interval).
+        rs_img, rs_depth, rs_unproj, rs_mover = _render(
+            scene, intr, rows, cols, r_rows, t_rows, dtype, times=betas)
+        # GS image at this frame's scanline-0 pose (and instant).
         r_gs = jnp.broadcast_to(r_rows[0], (rows, 3, 3))
         t_gs = jnp.broadcast_to(t_rows[0], (rows, 3))
-        gs_img, gs_depth, gs_unproj = _render(
-            scene, intr, rows, cols, r_gs, t_gs, dtype)
+        gs_img, gs_depth, gs_unproj, _ = _render(
+            scene, intr, rows, cols, r_gs, t_gs, dtype,
+            times=jnp.broadcast_to(betas[0], (rows,)))
         frames.append(SyntheticFrame(
             rs_image=rs_img, gs_image=gs_img,
             rs_depth=rs_depth, gs_depth=gs_depth,
             rs_unproject=rs_unproj, gs_unproject=gs_unproj,
-            poses_r=r_rows, poses_t=t_rows))
+            poses_r=r_rows, poses_t=t_rows, mover_mask=rs_mover))
     return SyntheticPair(
         frame1=frames[0], frame2=frames[1], intrinsics=intr,
         gamma=gamma, k=k, v=v, w=w)
+
+
+def stress_scene(dtype=jnp.float32, *, mover_speed=0.8,
+                 foreground=True) -> Scene:
+    """Castle scene + rigidity breakers: the real-imagery stress bed.
+
+    Adds to castle_scene:
+      * a NEAR foreground slab (depth ~1.8 vs scene mean ~6 — the strong
+        depth-discontinuity / large-parallax case);
+      * two independently moving occluders crossing the view (world
+        velocity `mover_speed` units per frame interval, one lateral, one
+        diagonal-towards) — the reference's dominant real-world failure
+        mode (examples/README.md:14: moving objects corrupt DeepFlow and
+        everything downstream).
+
+    Pixels on movers are flagged in SyntheticFrame.mover_mask, so tests can
+    check they are excluded by FB-occlusion masking / RANSAC.
+    """
+    base = castle_scene(dtype=dtype)
+    extra = [
+        # foreground slab, bottom-left quadrant, very close
+        ([-1.6, 0.45, 1.8], [0.9, 0.0, 0.0], [0.0, 0.75, 0.0],
+         [0.85, 0.55, 0.35], [0.0, 0.0, 0.0]),
+        # lateral mover: small card sweeping left→right mid-frame
+        ([-0.55, -0.35, 3.0], [0.5, 0.0, 0.0], [0.0, 0.5, 0.0],
+         [0.25, 0.75, 0.9], [mover_speed, 0.0, 0.0]),
+        # diagonal mover: drifting down-right and toward the camera
+        ([0.35, -1.05, 4.2], [0.65, 0.0, 0.0], [0.0, 0.65, 0.0],
+         [0.9, 0.35, 0.4], [-0.5 * mover_speed, 0.35 * mover_speed,
+                            -0.4 * mover_speed]),
+    ]
+    if not foreground:
+        extra = extra[1:]
+    o = jnp.concatenate([base.origins,
+                         jnp.asarray([e[0] for e in extra], dtype)])
+    e1 = jnp.concatenate([base.edge1,
+                          jnp.asarray([e[1] for e in extra], dtype)])
+    e2 = jnp.concatenate([base.edge2,
+                          jnp.asarray([e[2] for e in extra], dtype)])
+    c = jnp.concatenate([base.base_color,
+                         jnp.asarray([e[3] for e in extra], dtype)])
+    vel = jnp.concatenate([jnp.zeros_like(base.origins),
+                           jnp.asarray([e[4] for e in extra], dtype)])
+    return Scene(origins=o, edge1=e1, edge2=e2, base_color=c, velocity=vel)
+
+
+def apply_photometric(image, key, *, exposure=1.0, gamma_curve=1.0,
+                      vignette=0.0, noise_sigma=0.0, blur=False):
+    """Photometric nuisances for stress testing dense flow.
+
+    Models the real-camera effects the brightness-constancy data term
+    breaks on (and the census/structure-texture terms are built for):
+    global exposure/gain change, tone-curve (gamma) shift, radial
+    vignetting, sensor noise, and a mild 3x3 defocus blur.
+
+    Args:
+      image: (H, W, 3) float in [0, 1].
+      key: PRNG key (used for the noise only).
+    """
+    img = jnp.asarray(image)
+    dtype = img.dtype
+    h, w = img.shape[:2]
+    out = img * jnp.asarray(exposure, dtype)
+    if gamma_curve != 1.0:
+        out = jnp.clip(out, 1e-6, 1.0) ** jnp.asarray(gamma_curve, dtype)
+    if vignette:
+        ys, xs = jnp.meshgrid(jnp.arange(h, dtype=dtype),
+                              jnp.arange(w, dtype=dtype), indexing="ij")
+        r2 = (((xs - w / 2) / (w / 2)) ** 2
+              + ((ys - h / 2) / (h / 2)) ** 2) / 2.0
+        out = out * (1.0 - jnp.asarray(vignette, dtype) * r2)[..., None]
+    if blur:
+        kern = jnp.asarray([0.25, 0.5, 0.25], dtype)
+        for axis in (0, 1):
+            shifted = sum(
+                k * jnp.roll(out, sh, axis=axis)
+                for k, sh in zip(kern, (-1, 0, 1)))
+            out = shifted
+    if noise_sigma:
+        out = out + noise_sigma * jax.random.normal(key, out.shape, dtype)
+    return jnp.clip(out, 0.0, 1.0)
 
 
 def default_intrinsics(rows: int, cols: int) -> Intrinsics:

@@ -108,7 +108,11 @@ def null_vector(z):
     Returns:
       (..., n) unit vector spanning the (approximate) null space.
     """
-    ztz = jnp.einsum("...ij,...ik->...jk", z, z)
+    # HIGHEST: on TPU the default matmul precision truncates operands
+    # toward bf16 on the MXU; the null space of ZᵀZ is precisely where that
+    # truncation destroys the answer in f32.
+    ztz = jnp.einsum("...ij,...ik->...jk", z, z,
+                     precision=jax.lax.Precision.HIGHEST)
     _, v = eigh_small(ztz)
     return v[..., :, 0]
 

@@ -8,8 +8,9 @@ fixed cost to every extra sequential dispatch, so the whole iteration is
 fused into a single pallas_call:
 
   1. depth merge: rho_eff = accept ? rho_cand : rho_prev;
-  2. depth back-substitution at the last solved delta:
-     rho_new = rho_eff - (g_rho + c . delta) / (d (1+lambda));
+  2. variable-projection depth update at the candidate motion:
+     rho_new = rho_eff - g_rho / d  (exact per-pixel optimum — the
+     residual is linear in rho);
   3. reduction of the 71 Schur/cost sums at the NEW candidate
      (theta_cand, rho_new).  The 56 Gram-matrix sums (triu of sum J^T J and
      of sum c c^T / d) run on the MXU: stack the masked Jacobian rows as
@@ -189,30 +190,28 @@ def _iter_kernel(state_ref, px_ref, rho_prev_ref, rho_cand_ref,
         accs_ref[:, :] = jnp.zeros((8, 128), jnp.float32)
         accv_ref[0, :] = jnp.zeros((128,), jnp.float32)
 
-    theta_eff = tuple(state_ref[_S_THETA + t] for t in range(7))
     theta_cand = tuple(state_ref[_S_CAND + t] for t in range(7))
-    delta = tuple(state_ref[_S_DELTA + t] for t in range(7))
     k_keep = state_ref[_S_KKEEP]
     lam = state_ref[_S_LAM]
     accept = state_ref[_S_ACCEPT] > 0.5
     active = state_ref[_S_ACTIVE]
 
-    # --- depth merge + back-substitution at (theta_eff, delta) ---
+    # --- depth merge + variable projection at theta_cand ---
+    # ρ is re-ELIMINATED exactly at the candidate motion (the residual is
+    # linear in ρ, so the per-pixel optimum is one Newton step with the
+    # UNDAMPED curvature: ρ* = ρ − g_ρ/d), mirroring solver/refine.py's
+    # VarPro update — the GN ρ-update made the joint iteration crawl along
+    # the k/(v,w,ρ) valley (~40x more iterations to the same optimum).
     rho_eff = jnp.where(accept, rho_cand_ref[0, :], rho_prev_ref[0, :])
     x, y, m, beta, dbeta, ax, ay, ex, ey, rx, ry = _pixel_terms(
-        px_ref, rho_eff, theta_eff)
-    jx, jy = _jacobian_rows(x, y, rho_eff, beta, dbeta, ex, ey, k_keep)
+        px_ref, rho_eff, theta_cand)
     jrx = -beta * ax
     jry = -beta * ay
-    d_aug = (jrx * jrx + jry * jry) * m * (1.0 + lam)
-    informative = d_aug > 0.0
-    d_safe = jnp.where(informative, d_aug, jnp.ones_like(d_aug))
+    d0 = (jrx * jrx + jry * jry) * m
+    informative = d0 > 0.0
+    d_safe0 = jnp.where(informative, d0, jnp.ones_like(d0))
     g_rho = (jrx * rx + jry * ry) * m
-    c_dot_dth = jnp.zeros_like(x)
-    for t in range(7):
-        c_dot_dth = c_dot_dth + (jx[t] * jrx + jy[t] * jry) * m * delta[t]
-    delta_rho = jnp.where(informative, -(g_rho + c_dot_dth) / d_safe,
-                          jnp.float32(0.0))
+    delta_rho = jnp.where(informative, -g_rho / d_safe0, jnp.float32(0.0))
     rho_new = rho_eff + delta_rho * m * active
     rho_eff_ref[0, :] = rho_eff
     rho_new_ref[0, :] = rho_new

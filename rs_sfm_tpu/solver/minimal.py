@@ -14,8 +14,11 @@ Leading batch axes broadcast throughout.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from rs_sfm_tpu.geom import so3
@@ -30,6 +33,19 @@ _TOL_IMAG = 1e-5
 # constant.
 _K_NODES = 3.0 * np.cos(np.pi * (2 * np.arange(7) + 1) / 14.0)
 _INV_VANDERMONDE = np.linalg.inv(np.vander(_K_NODES, 7, increasing=True))
+
+
+def _highest_matmul(fn):
+    """Run fn with HIGHEST matmul precision: the tiny-matrix chains here
+    are cancellation-sensitive, and the TPU's default MXU precision
+    (bf16-truncated operands) measurably breaks the f32 k-path."""
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapped
 
 
 def build_z_columns(q, u):
@@ -69,8 +85,32 @@ def estimate_k_roots(z, alpha, alpha_k):
     several real roots — every one of them interpolates the 9 constraints
     exactly; only scoring against the full pixel set (RANSAC) identifies the
     physical one.
+
+    Two root engines, selected by dtype:
+      * float64: exact degree-6 polynomial recovery (7 determinant nodes +
+        inverse Vandermonde) rooted with Durand–Kerner — the path verified
+        bit-close against the reference binary (tests/test_parity_reference).
+      * float32: the polynomial-coefficient recovery is catastrophically
+        ill-conditioned in single precision (measured on TPU: k̂ off by
+        ±5), so candidates come from Newton iteration on det(M(κ)) = 0
+        directly, using Jacobi's formula
+            d/dκ log det(M) = tr(M⁻¹ p_k)  ⇒  Newton step Δκ = −1/tr(M⁻¹p_k)
+        — no determinants, hence no dynamic-range problem.  Six fixed
+        starts cover the physically plausible range; non-converged starts
+        are flagged imaginary so the existing real-root filters drop them.
     """
     dtype = z.dtype
+    # f32-on-TPU hazard (measured: k roots turn to garbage at default MXU
+    # precision): every matmul in these chains runs HIGHEST.
+    p, p_k = _k_pencil(z, alpha, alpha_k)
+    if dtype == jnp.float64:
+        return _k_roots_polynomial(p, p_k, dtype)
+    return _k_roots_newton(p, p_k, dtype)
+
+
+@_highest_matmul
+def _k_pencil(z, alpha, alpha_k):
+    """The 6x6 pencil (p, p_k) with det(Z(k)) ∝ det(p + k·p_k)."""
     a = z[..., :3, :3]
     bc = z[..., :3, 3:]
     dg = z[..., 3:, :3]
@@ -81,7 +121,11 @@ def estimate_k_roots(z, alpha, alpha_k):
         "...ik,...k,...kl->...il", dga, alpha[..., :3], bc)
     p_k = alpha_k[..., 3:, None] * efhj - jnp.einsum(
         "...ik,...k,...kl->...il", dga, alpha_k[..., :3], bc)
+    return p, p_k
 
+
+@_highest_matmul
+def _k_roots_polynomial(p, p_k, dtype):
     # det(p + κ·p_k) evaluated at the 7 fixed nodes; the degree-6 polynomial
     # is recovered exactly through the precomputed inverse Vandermonde.
     nodes = jnp.asarray(_K_NODES, dtype=dtype)
@@ -94,6 +138,47 @@ def estimate_k_roots(z, alpha, alpha_k):
         "ij,...j->...i", jnp.asarray(_INV_VANDERMONDE, dtype=dtype), dets / scale
     )
     return linalg.polyroots(coeffs)
+
+
+# Newton starts for the f32 root engine: cover the physically plausible k
+# range (β's pole sits at k = −2; |k| beyond ~3 is outside any RS video
+# regime and the reference's sweeps stop at 1.5).
+_K_NEWTON_STARTS = np.array([-1.5, -0.75, 0.0, 0.5, 1.0, 1.75])
+_K_NEWTON_ITERS = 12
+
+
+@_highest_matmul
+def _k_roots_newton(p, p_k, dtype):
+    starts = jnp.asarray(_K_NEWTON_STARTS, dtype=dtype)
+    batch = p.shape[:-2]
+    k = jnp.broadcast_to(starts, batch + (6,))
+
+    def body(_, k):
+        m = p[..., None, :, :] + k[..., None, None] * p_k[..., None, :, :]
+        m_inv = linalg.gauss_inv(m)
+        tr = jnp.einsum("...ij,...ji->...", m_inv,
+                        p_k[..., None, :, :],
+                        precision=jax.lax.Precision.HIGHEST)
+        safe = jnp.where(jnp.abs(tr) < 1e-20, jnp.ones_like(tr), tr)
+        step = -1.0 / safe
+        # Damp huge steps (near-critical points of det): cap at 1.0.
+        step = jnp.clip(step, -1.0, 1.0)
+        return jnp.where(jnp.abs(tr) < 1e-20, k, k + step)
+
+    k = jax.lax.fori_loop(0, _K_NEWTON_ITERS, body, k)
+    # Convergence check: one more Newton step must be tiny relative to k.
+    m = p[..., None, :, :] + k[..., None, None] * p_k[..., None, :, :]
+    m_inv = linalg.gauss_inv(m)
+    tr = jnp.einsum("...ij,...ji->...", m_inv, p_k[..., None, :, :],
+                    precision=jax.lax.Precision.HIGHEST)
+    safe = jnp.where(jnp.abs(tr) < 1e-20, jnp.ones_like(tr), tr)
+    last = jnp.abs(1.0 / safe)
+    ok = (last < 1e-3 * (1.0 + jnp.abs(k))) & jnp.isfinite(k)
+    roots_re = jnp.where(ok, k, jnp.zeros_like(k))
+    # Non-converged starts are flagged via a large fake imaginary part so
+    # the shared real-root filters (|imag| < _TOL_IMAG) reject them.
+    roots_im = jnp.where(ok, jnp.zeros_like(k), jnp.ones_like(k))
+    return roots_re, roots_im
 
 
 def estimate_k(z, alpha, alpha_k, compat_negate: bool = False):
@@ -136,6 +221,7 @@ def _rot_y(theta):
     return so3.rot_y(theta)
 
 
+@_highest_matmul
 def recover_vw(z):
     """Steps 1-4 of the linear differential algorithm on a β-scaled Z.
 

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 
 from rs_sfm_tpu.ops import linalg
 from rs_sfm_tpu.solver.beta import beta_factor, beta_factor_dk
+from rs_sfm_tpu.solver.depth import estimate_inverse_depth
 from rs_sfm_tpu.solver.flow_model import rotational_flow, translational_flow
 
 
@@ -150,10 +151,15 @@ def refine(
         # current cost = M[7,7].
         x_aug = jnp.concatenate(
             [j_theta * mw[..., None], (r * mw)[..., None]], axis=-1)
-        gram = jnp.einsum("nri,nrj->ij", x_aug, x_aug)
+        # HIGHEST: the 7x7 Schur assembly is cancellation-sensitive and the
+        # TPU default MXU precision truncates operands toward bf16 (same
+        # rationale as the Pallas engine's explicit dot_general precision).
+        gram = jnp.einsum("nri,nrj->ij", x_aug, x_aug,
+                          precision=jax.lax.Precision.HIGHEST)
         h_tt = _psum(gram[:7, :7], axis_name)
         g_t = _psum(gram[:7, 7], axis_name)
-        c_i = jnp.einsum("nri,nr->ni", j_theta, j_rho * mw)  # (N, 7)
+        c_i = jnp.einsum("nri,nr->ni", j_theta, j_rho * mw,
+                         precision=jax.lax.Precision.HIGHEST)  # (N, 7)
         d_i = jnp.sum(j_rho * j_rho, axis=-1) * m            # (N,)
         g_rho = jnp.sum(j_rho * r, axis=-1) * m              # (N,)
 
@@ -172,23 +178,36 @@ def refine(
         y_aug = jnp.concatenate(
             [c_i * inv_sqrt_d[..., None],
              (g_rho * inv_sqrt_d)[..., None]], axis=-1)
-        gram_y = _psum(jnp.einsum("ni,nj->ij", y_aug, y_aug), axis_name)
+        gram_y = _psum(jnp.einsum("ni,nj->ij", y_aug, y_aug,
+                                  precision=jax.lax.Precision.HIGHEST),
+                       axis_name)
         h_red = h_aug - gram_y[:7, :7]
         g_red = g_t - gram_y[:7, 7]
 
         # GN step: (JᵀJ)δ = −Jᵀr  (note r = observed − predicted, and
         # j_theta = ∂r/∂θ, so the normal equations carry the minus here).
-        delta_theta = linalg.gauss_solve(h_red, -g_red)
-        delta_rho = jnp.where(
-            informative,
-            -(g_rho + c_i @ delta_theta) / d_safe,
-            0.0,
-        )
+        # Jacobi preconditioning: the diagonal spans ~4 orders of magnitude
+        # (w ~1e5, v ~1e2, k ~1e1 on 600px problems); the symmetrized
+        # D⁻½·H·D⁻½ solve keeps the small-curvature k direction in f32.
+        d_pre = jnp.diagonal(h_red)
+        d_pre = jnp.where(d_pre > 0.0, d_pre, jnp.ones_like(d_pre))
+        s_pre = 1.0 / jnp.sqrt(d_pre)
+        h_pre = h_red * s_pre[:, None] * s_pre[None, :]
+        delta_theta = s_pre * linalg.gauss_solve(h_pre, -g_red * s_pre)
 
         v_new = v + delta_theta[:3]
         w_new = w + delta_theta[3:6]
         k_new = k + delta_theta[6]
-        rho_new = rho + delta_rho * m
+        # Variable projection: ρ is re-ELIMINATED exactly (closed-form
+        # per-pixel optimum at the candidate motion, solver/depth.py) rather
+        # than GN-updated.  The GN ρ-update makes the joint iteration crawl
+        # along the k/(v,w,ρ) trade-off valley (measured: ~0.005 per
+        # iteration, 200 iterations from k=0 to k̂=0.47); VarPro reaches the
+        # same optimum in ~10.  Masked-out pixels keep their incoming ρ
+        # (pass-through contract).
+        rho_star = estimate_inverse_depth(coords, flow, v_new, w_new,
+                                          k_new, alpha, alpha_k)
+        rho_new = jnp.where(mask, rho_star, rho)
 
         new_cost = cost_fn(v_new, w_new, k_new, rho_new)
         accept = (new_cost < cost) & jnp.isfinite(new_cost)

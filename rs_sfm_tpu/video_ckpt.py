@@ -82,6 +82,33 @@ def process_video_checkpointed(
     run = jax.jit(lambda f, k: estimate_video(
         f, intr, gamma, cfg, k, min_inliers=min_inliers))
 
+    def window_host(wi):
+        lo = wi * window
+        fw = flows_np[lo:lo + window]
+        pad = window - fw.shape[0]
+        if pad:
+            # Explicitly shaped zeros: `fw[:pad]` would under-pad when
+            # the tail window holds fewer than `pad` pairs (e.g. 5 pairs,
+            # window=4 → tail has 1 pair but pad=3), breaking the
+            # fixed-shape contract of the jitted graph.
+            fw = np.concatenate(
+                [fw, np.zeros((pad,) + fw.shape[1:], dtype=fw.dtype)],
+                axis=0)
+        return fw
+
+    # Double-buffered pipeline: jax dispatch is asynchronous, so window
+    # wi+1 is uploaded AND enqueued before window wi's result is fetched —
+    # the device computes wi+1 while the host blocks on wi's transfer and
+    # writes its checkpoint.  This is the sliding-window analog of the
+    # flow(t+1)/solve(t) stage overlap (SURVEY §2.4 PP): on the tunneled
+    # TPU the host-side fetch+save latency is fully hidden behind device
+    # work (measured in TPU_VALIDATION.md).
+    def dispatch(wi):
+        return run(jnp.asarray(window_host(wi)),
+                   jax.random.fold_in(key, wi))
+
+    inflight = {}  # wi -> dispatched (device) VideoResult
+
     chunks = []
     for wi in range(n_win):
         lo = wi * window
@@ -91,21 +118,15 @@ def process_video_checkpointed(
             res = VideoResult(**{k: np.asarray(v)
                                  for k, v in restored.items()})
         else:
-            fw = flows_np[lo:hi]
-            pad = window - fw.shape[0]
-            if pad:
-                # Explicitly shaped zeros: `fw[:pad]` would under-pad when
-                # the tail window holds fewer than `pad` pairs (e.g. 5 pairs,
-                # window=4 → tail has 1 pair but pad=3), breaking the
-                # fixed-shape contract of the jitted graph.
-                fw = np.concatenate(
-                    [fw, np.zeros((pad,) + fw.shape[1:], dtype=fw.dtype)],
-                    axis=0)
-            wkey = jax.random.fold_in(key, wi)
-            out = run(jnp.asarray(fw), wkey)
+            out = inflight.pop(wi, None)
+            if out is None:
+                out = dispatch(wi)
+            # Prefetch the next uncheckpointed window before syncing.
+            nxt = wi + 1
+            if nxt < n_win and nxt not in saved and nxt not in inflight:
+                inflight[nxt] = dispatch(nxt)
             res = VideoResult(*_to_host(out))
-            if pad:  # padded pairs are zero-flow → masked not-ok anyway,
-                res = VideoResult(*[v[: hi - lo] for v in res])
+            res = VideoResult(*[v[: hi - lo] for v in res])
             mgr.save(wi, args=ocp.args.StandardSave(res._asdict()))
             mgr.wait_until_finished()
         res = VideoResult(*[v[: hi - lo] for v in res])

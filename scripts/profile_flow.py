@@ -60,6 +60,16 @@ def main():
         levels=1, init_search_radius=0, refine_search_radius=0,
         gamma_grad=0.0))
 
+    # Production engine: Pallas blocked warp.
+    pw = base_cfg._replace(warp_engine="pallas")
+    run("pallas-warp full", pw)
+    run("pallas-warp iters=1", pw._replace(iters=1))
+    run("pallas-warp iters=40", pw._replace(iters=40))
+    run("pallas-warp warps=1", pw._replace(warps=1))
+    run("pallas-warp no discrete", pw._replace(
+        init_search_radius=0, refine_search_radius=0))
+    run("pallas-warp median off", pw._replace(median=False))
+
 
 if __name__ == "__main__" and not os.environ.get("FLOW_ENGINES"):
     main()
