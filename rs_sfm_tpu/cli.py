@@ -138,7 +138,8 @@ def cmd_single_run(args):
     from rs_sfm_tpu.models import get_flow_preset
 
     flow_cfg = get_flow_preset(args.flow_model,
-                               warp_engine=args.warp_engine)
+                               warp_engine=args.warp_engine,
+                               sor_engine=args.sor_engine)
     if args.census_weight:
         flow_cfg = flow_cfg._replace(census_weight=args.census_weight)
     pixel_mask = None
@@ -262,7 +263,8 @@ def cmd_sweep(args):
         from rs_sfm_tpu.models import get_flow_preset
 
         flow_cfg = get_flow_preset(args.flow_model,
-                                   warp_engine=args.warp_engine)
+                                   warp_engine=args.warp_engine,
+                                   sor_engine=args.sor_engine)
         if args.census_weight:
             flow_cfg = flow_cfg._replace(census_weight=args.census_weight)
         errs = evaluate_velocities(
@@ -369,6 +371,11 @@ def main(argv=None):
                        default="xla",
                        help="dense-flow warp kernel (pallas = blocked TPU "
                             "kernel, ~5x faster flow at full-HD)")
+        p.add_argument("--sor-engine", choices=("xla", "pallas"),
+                       default="xla",
+                       help="dense-flow SOR sweeps (pallas = fused "
+                            "multi-sweep VMEM kernel at qualifying "
+                            "shapes)")
         p.add_argument("--census-weight", type=float, default=0.0,
                        help="ternary-census data term weight (real imagery "
                             "with illumination changes; 0 = off)")

@@ -61,6 +61,11 @@ class DenseFlowConfig(NamedTuple):
     # imagery with exposure/vignetting changes.
     census_weight: float = 0.0
     census_sigma: float = 0.04  # soft-sign scale: tanh-like d/√(d²+σ²)
+    # SOR sweep engine: "xla" (portable rolls; any shape/term) or "pallas"
+    # (fused multi-sweep VMEM-resident kernel, ops/pallas/sor.py; bit-exact
+    # iteration semantics, used automatically only at levels whose shape
+    # qualifies and with the census term off).
+    sor_engine: str = "xla"
     # Brightness-constancy weight.  Set to 0 (with gamma_grad=0) to run a
     # census-only data term — the robust configuration for real imagery
     # with exposure/vignetting/gamma changes, where raw brightness (and
@@ -361,8 +366,22 @@ def _level_solve(i1, i2, flow, cfg: DenseFlowConfig):
                 v = v + mask * (v_s - v)
             return u, v
 
-        u, v = jax.lax.fori_loop(0, cfg.iters, sor,
-                                 (flow[..., 0], flow[..., 1]))
+        use_pallas_sor = False
+        if cfg.sor_engine == "pallas":
+            from rs_sfm_tpu.ops.pallas import sor as psor
+
+            use_pallas_sor = psor.supported(i1.shape[0], i1.shape[1],
+                                            cfg.census_weight)
+        if use_pallas_sor:
+            coef = jnp.stack([ix, iy, c, ixx, ixy, iyy, cgx, cgy])
+            u, v = psor.sor_sweeps_pallas(
+                coef, flow[..., 0], flow[..., 1],
+                iters=cfg.iters, omega=float(cfg.omega), lam=float(lam),
+                eps2=float(eps2), wbr=float(cfg.brightness_weight),
+                wgrad=float(cfg.gamma_grad))
+        else:
+            u, v = jax.lax.fori_loop(0, cfg.iters, sor,
+                                     (flow[..., 0], flow[..., 1]))
         flow = jnp.stack([u, v], axis=-1)
         if cfg.median:
             flow = jnp.stack([_median3(flow[..., 0]),

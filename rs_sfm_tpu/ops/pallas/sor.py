@@ -1,0 +1,170 @@
+"""Fused multi-sweep red-black SOR kernel for the variational flow solver.
+
+The XLA formulation of the flow solver's inner loop (flow/dense.py
+_level_solve) streams ~12 coefficient planes + (u, v) through HBM on EVERY
+red-black sweep: at full-HD that is ~20 sweeps x 2 colors x ~14 planes x
+8 MB of traffic per warp iteration, measuring as ~66 ms of the 122 ms
+dense-flow budget.  This kernel runs SWEEPS_PER_CALL sweeps over a
+VMEM-resident row block, so the planes are read from HBM once per K sweeps
+instead of once per sweep.
+
+Exactness (identical iteration semantics to the XLA loop):
+  * the image is cut into row blocks with a halo of K = 2·sweeps rows on
+    each side, wrap-padded to match the XLA version's jnp.roll (torus)
+    boundary convention; the red-black dependence cone grows one row per
+    COLOR (two per sweep: the second color reads the first color's fresh
+    values), so after s in-VMEM sweeps every row further than 2s rows from
+    the block edge equals what the global sweep would produce — writing
+    only the interior TH rows reproduces the global iteration exactly;
+  * red-black order, over-relaxation, and lagged-diffusivity weights are
+    the same expressions as flow/dense.py point_solve;
+  * the checkerboard phase uses GLOBAL row parity: block b starts at
+    global row b·TH − K with TH even and H even, so the local phase is
+    (y + x + K) mod 2 for every block.
+
+Restrictions (the caller falls back to the XLA loop otherwise): W a
+multiple of 128 (lane tiling for in-kernel column rolls), H even and a
+multiple of TH, census term off (its 24 extra planes do not fit VMEM).
+
+Plane order in the packed (8, H, W) coefficient array:
+  0 ix   1 iy   2 c    3 ixx  4 ixy  5 iyy  6 cgx  7 cgy
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TH = 24              # interior rows per block (even; divides 1080)
+# Sweeps fused per launch: halo = 2·sweeps rows per side.  (TH=24, K=4)
+# keeps the (8+2-plane) block + vector temporaries comfortably under the
+# 16 MB scoped-VMEM limit at W = 1920 in any surrounding-jit context
+# ((40, 5) fit standalone but OOMed by ~0.3 MB composed under
+# flow_forward_backward).
+SWEEPS_PER_CALL = 4
+
+
+def _sor_kernel(coef_ref, uv_ref, out_ref, *, sweeps: int, omega: float,
+                lam: float, eps2: float, wbr: float, wgrad: float):
+    """`sweeps` red-black SOR sweeps on one wrap-padded row block.
+
+    coef_ref: (1, 8, TH+2K, W) VMEM; uv_ref: (1, 2, TH+2K, W) VMEM;
+    out_ref: (1, 2, TH, W) VMEM (interior rows after the sweeps).
+    """
+    k = 2 * sweeps  # halo rows (cone: one row per color, two per sweep)
+    ix = coef_ref[0, 0]
+    iy = coef_ref[0, 1]
+    c = coef_ref[0, 2]
+    ixx = coef_ref[0, 3]
+    ixy = coef_ref[0, 4]
+    iyy = coef_ref[0, 5]
+    cgx = coef_ref[0, 6]
+    cgy = coef_ref[0, 7]
+    u = uv_ref[0, 0]
+    v = uv_ref[0, 1]
+
+    rows, cols = u.shape
+
+    def _roll(x, shift, axis):
+        # pltpu.roll requires non-negative shifts; rolls are circular.
+        return pltpu.roll(x, shift % x.shape[axis], axis)
+
+    ys = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+    checker = ((ys + xs + k) % 2).astype(u.dtype)  # k even ⇒ global phase
+
+    for _ in range(sweeps):
+        for color in (0.0, 1.0):
+            # Lagged-diffusivity weights at the CURRENT (u, v) — exactly
+            # flow/dense.py point_solve.
+            r = ix * u + iy * v + c
+            wd = wbr * jax.lax.rsqrt(r * r + eps2)
+            rgx = cgx + ixx * u + ixy * v
+            rgy = cgy + ixy * u + iyy * v
+            wg = wgrad * jax.lax.rsqrt(rgx * rgx + rgy * rgy + eps2)
+
+            ubar = (_roll(u, 1, 0) + _roll(u, -1, 0)
+                    + _roll(u, 1, 1) + _roll(u, -1, 1)) * 0.25
+            vbar = (_roll(v, 1, 0) + _roll(v, -1, 0)
+                    + _roll(v, 1, 1) + _roll(v, -1, 1)) * 0.25
+            a11 = lam + wd * ix * ix + wg * (ixx * ixx + ixy * ixy)
+            a12 = wd * ix * iy + wg * (ixx * ixy + ixy * iyy)
+            a22 = lam + wd * iy * iy + wg * (ixy * ixy + iyy * iyy)
+            b1 = lam * ubar - wd * ix * c - wg * (ixx * cgx + ixy * cgy)
+            b2 = lam * vbar - wd * iy * c - wg * (ixy * cgx + iyy * cgy)
+            det = a11 * a22 - a12 * a12
+            det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+            u_new = (a22 * b1 - a12 * b2) / det
+            v_new = (a11 * b2 - a12 * b1) / det
+            mask = jnp.where(checker == color, omega, 0.0)
+            u = u + mask * (u_new - u)
+            v = v + mask * (v_new - v)
+
+    out_ref[0, 0] = u[k:k + TH]
+    out_ref[0, 1] = v[k:k + TH]
+
+
+def _window_rows(x, th: int, k: int):
+    """(P, H, W) → (NB, P, th+2k, W) overlapping wrap-padded row blocks."""
+    h = x.shape[-2]
+    nb = h // th
+    xp = jnp.concatenate([x[..., h - k:, :], x, x[..., :k, :]], axis=-2)
+
+    def grab(b):
+        return jax.lax.dynamic_slice_in_dim(xp, b * th, th + 2 * k, axis=-2)
+
+    return jax.vmap(grab)(jnp.arange(nb))
+
+
+def supported(h: int, w: int, census_weight: float) -> bool:
+    return h % TH == 0 and h % 2 == 0 and w % 128 == 0 \
+        and census_weight == 0.0
+
+
+def sor_sweeps_pallas(coef, u, v, *, iters: int, omega: float, lam: float,
+                      eps2: float, wbr: float, wgrad: float,
+                      interpret=None):
+    """Run `iters` red-black SOR sweeps (exact flow/dense.py semantics).
+
+    Args:
+      coef: (8, H, W) packed coefficient planes (see module docstring).
+      u, v: (H, W) current flow components.
+
+    Returns:
+      (u, v) after the sweeps.
+    """
+    h, w = u.shape
+    assert supported(h, w, 0.0), (h, w)
+    if interpret is None:
+        # Auto: Mosaic on TPU, interpreter on CPU (tests).
+        interpret = jax.default_backend() == "cpu"
+    nb = h // TH
+    n_full, rem = divmod(iters, SWEEPS_PER_CALL)
+    schedule = [SWEEPS_PER_CALL] * n_full + ([rem] if rem else [])
+
+    for sweeps in schedule:
+        halo = 2 * sweeps
+        cb = _window_rows(coef, TH, halo)                 # (NB, 8, ·, W)
+        uvb = _window_rows(jnp.stack([u, v]), TH, halo)   # (NB, 2, ·, W)
+        call = pl.pallas_call(
+            functools.partial(_sor_kernel, sweeps=sweeps, omega=omega,
+                              lam=lam, eps2=eps2, wbr=wbr, wgrad=wgrad),
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((1, 8, TH + 2 * halo, w),
+                             lambda b: (b, 0, 0, 0)),
+                pl.BlockSpec((1, 2, TH + 2 * halo, w),
+                             lambda b: (b, 0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 2, TH, w), lambda b: (b, 0, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((nb, 2, TH, w), u.dtype),
+            interpret=interpret,
+        )
+        out = call(cb, uvb)
+        u = out[:, 0].reshape(h, w)
+        v = out[:, 1].reshape(h, w)
+    return u, v

@@ -70,6 +70,12 @@ def main():
         init_search_radius=0, refine_search_radius=0))
     run("pallas-warp median off", pw._replace(median=False))
 
+    # Fused multi-sweep SOR kernel (finest level) on top of the pallas warp.
+    ps = pw._replace(sor_engine="pallas")
+    run("pallas warp+sor full", ps)
+    run("pallas warp+sor iters=40", ps._replace(iters=40))
+    run("pallas warp+sor warps=1", ps._replace(warps=1))
+
 
 if __name__ == "__main__" and not os.environ.get("FLOW_ENGINES"):
     main()

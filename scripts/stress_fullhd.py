@@ -1,0 +1,190 @@
+"""Full-HD stress-scene evaluation: dense-flow EPE + estimation quality.
+
+The reference's dominant real-world failure mode is flow corruption by
+moving objects and illumination changes at full-HD (examples/README.md:14).
+This script renders 1920x1080 stress pairs (moving occluders + foreground
+slab; photometric nuisances) with exact GT, then measures on the TPU:
+
+  * dense-flow EPE on rigid (non-mover) pixels, with the census term and
+    FB-occlusion masking on/off;
+  * the fraction of mover pixels caught by FB-occlusion;
+  * motion-estimation error from the estimated flow (occlusion-masked,
+    multi-start refinement);
+  * wall-clock of the production flow configuration.
+
+Two-process design like scripts/figure4_protocol.py: --phase render runs
+on CPU in f64; the default phase evaluates on the ambient platform (TPU).
+Results: results/stress_fullhd.json (markdown table printed at the end;
+copied into STRESS.md).
+
+Usage:
+  PYTHONPATH=/root/repo:/root/.axon_site timeout 7200 \
+      python scripts/stress_fullhd.py --out results/stress_fullhd.json
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+H, W = 1080, 1920
+V = np.array([0.35, -0.15, 0.25])
+WR = np.array([0.003, -0.002, 0.004])
+GAMMA = 0.9
+
+SCENES = ["stress", "castle_photo", "castle_clean"]
+
+
+def _path(cache, scene):
+    return os.path.join(cache, f"stress_{H}x{W}_{scene}.npz")
+
+
+def phase_render(args):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from rs_sfm_tpu.data.synthetic import (apply_photometric, castle_scene,
+                                           default_intrinsics, render_pair,
+                                           stress_scene)
+    from rs_sfm_tpu.flow.true_flow import true_flow
+
+    intr = default_intrinsics(H, W)
+    os.makedirs(args.cache, exist_ok=True)
+    for name in SCENES:
+        path = _path(args.cache, name)
+        if os.path.exists(path):
+            continue
+        scene = (stress_scene(dtype=jnp.float64) if name == "stress"
+                 else castle_scene(dtype=jnp.float64))
+        pair = render_pair(scene, intr, H, W, gamma=GAMMA, k=0.0, v=V,
+                           w=WR, dtype=jnp.float64)
+        gt = true_flow(pair.frame1.rs_unproject, pair.frame2.poses_r,
+                       pair.frame2.poses_t, intr)
+        i1 = np.asarray(pair.frame1.rs_image, np.float32)
+        i2 = np.asarray(pair.frame2.rs_image, np.float32)
+        if name == "castle_photo":
+            i2 = np.asarray(apply_photometric(
+                jnp.asarray(i2), jax.random.PRNGKey(1), exposure=1.35,
+                vignette=0.35, noise_sigma=0.005), np.float32)
+        np.savez_compressed(
+            path, i1=i1, i2=i2, gt_flow=np.asarray(gt, np.float32),
+            mover=np.asarray(pair.frame1.mover_mask), v=V, w=WR)
+        print(f"[render] {os.path.basename(path)}", flush=True)
+
+
+def phase_eval(args):
+    import jax
+
+    cache_dir = os.path.join(REPO, ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+
+    from rs_sfm_tpu.config import PipelineConfig
+    from rs_sfm_tpu.data.synthetic import default_intrinsics
+    from rs_sfm_tpu.eval.metrics import translation_error
+    from rs_sfm_tpu.flow.dense import DenseFlowConfig, flow_forward_backward
+    from rs_sfm_tpu.solver.pipeline import estimate_from_flow
+
+    intr = default_intrinsics(H, W)
+    out = {"platform": jax.devices()[0].platform}
+
+    flow_cfgs = {
+        "plain": DenseFlowConfig(warp_engine="pallas", sor_engine="pallas"),
+        "census": DenseFlowConfig(warp_engine="pallas",
+                                  census_weight=1.0, struct_texture=0.9),
+    }
+
+    fb_fn = {}
+
+    def run_fb(cfg_name, i1, i2):
+        if cfg_name not in fb_fn:
+            cfgv = flow_cfgs[cfg_name]
+            fb_fn[cfg_name] = jax.jit(
+                lambda a, b: flow_forward_backward(a, b, cfgv))
+        r = fb_fn[cfg_name](i1, i2)
+        jax.block_until_ready(r.flow)
+        float(r.flow.sum())  # tunnel-safe sync
+        return r
+
+    for scene in SCENES:
+        with np.load(_path(args.cache, scene)) as z:
+            data = {k: z[k] for k in z.files}
+        i1 = jnp.asarray(data["i1"])
+        i2 = jnp.asarray(data["i2"])
+        gt = data["gt_flow"]
+        mover = data["mover"]
+        rigid = ~mover & (np.linalg.norm(gt, axis=-1) > 0)
+        row = {}
+        for cfg_name in ("plain", "census"):
+            fb = run_fb(cfg_name, i1, i2)
+            f = np.asarray(fb.flow)
+            occ = np.asarray(fb.occlusion)
+            epe = np.linalg.norm(f - gt, axis=-1)
+            row[f"epe_{cfg_name}_all"] = float(epe[rigid].mean())
+            row[f"epe_{cfg_name}_unocc"] = float(epe[rigid & ~occ].mean())
+            row[f"occ_frac_{cfg_name}"] = float(occ.mean())
+            if mover.any():
+                row[f"mover_flag_rate_{cfg_name}"] = float(occ[mover].mean())
+            # wall-clock (production flow config, value-fetch timed)
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                r = fb_fn[cfg_name](i1, i2)
+                float(r.flow.sum())
+                ts.append(time.perf_counter() - t0)
+            row[f"fb_ms_{cfg_name}"] = round(min(ts) * 1e3, 1)
+
+            cfg = PipelineConfig(ransac_trials=256, ransac_tol=0.005,
+                                 refine_iterations=30, refine_starts=4,
+                                 refine_rel_tol=0.0)
+            est = jax.jit(lambda fl, mk: estimate_from_flow(
+                fl, intr, GAMMA, cfg, jax.random.PRNGKey(0),
+                pixel_mask=mk))(fb.flow, ~fb.occlusion)
+            row[f"err_v_{cfg_name}"] = float(translation_error(
+                est.v, jnp.asarray(data["v"], jnp.float32)))
+        out[scene] = row
+        print(scene, json.dumps(row), flush=True)
+
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {args.out}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--phase", default="eval", choices=("render", "eval"))
+    ap.add_argument("--cache", default=os.path.join(REPO, "results",
+                                                    "stress_cache"))
+    ap.add_argument("--out", default=os.path.join(REPO, "results",
+                                                  "stress_fullhd.json"))
+    args = ap.parse_args()
+    if args.phase == "render":
+        phase_render(args)
+        return
+    missing = [s for s in SCENES
+               if not os.path.exists(_path(args.cache, s))]
+    if missing:
+        print(f"rendering {missing} in a CPU+f64 subprocess...", flush=True)
+        subprocess.run([sys.executable, os.path.abspath(__file__),
+                        "--phase", "render", "--cache", args.cache],
+                       check=True)
+    phase_eval(args)
+
+
+if __name__ == "__main__":
+    main()
