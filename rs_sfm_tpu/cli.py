@@ -140,7 +140,7 @@ def cmd_single_run(args):
     flow_cfg = get_flow_preset(args.flow_model,
                                warp_engine=args.warp_engine,
                                sor_engine=args.sor_engine)
-    if args.census_weight:
+    if args.census_weight is not None:
         flow_cfg = flow_cfg._replace(census_weight=args.census_weight)
     pixel_mask = None
     if use_flow and args.occlusion_mask:
@@ -265,7 +265,7 @@ def cmd_sweep(args):
         flow_cfg = get_flow_preset(args.flow_model,
                                    warp_engine=args.warp_engine,
                                    sor_engine=args.sor_engine)
-        if args.census_weight:
+        if args.census_weight is not None:
             flow_cfg = flow_cfg._replace(census_weight=args.census_weight)
         errs = evaluate_velocities(
             pair, cfg, num_evaluations=args.num_evaluations,
@@ -376,9 +376,10 @@ def main(argv=None):
                        help="dense-flow SOR sweeps (pallas = fused "
                             "multi-sweep VMEM kernel at qualifying "
                             "shapes)")
-        p.add_argument("--census-weight", type=float, default=0.0,
+        p.add_argument("--census-weight", type=float, default=None,
                        help="ternary-census data term weight (real imagery "
-                            "with illumination changes; 0 = off)")
+                            "with illumination changes; 0 = off; overrides "
+                            "the flow-model preset, including explicit 0)")
         p.add_argument("--occlusion-mask", action="store_true",
                        help="forward-backward occlusion check; occluded "
                             "pixels are excluded from RANSAC/refinement")

@@ -122,11 +122,13 @@ def estimate_sharded(mesh: Mesh, intr: Intrinsics, gamma,
             alpha = jnp.ones_like(alpha)
 
         # --- RANSAC over a globally shared stratified pool ---
-        # Gather via place-local-block + psum instead of all_gather: the
-        # communication volume is identical, but psum's output is
-        # *replicated-typed* under the varying-axes analysis, so everything
-        # downstream (hypotheses, the refined motion) is provably
-        # replicated and shard_map's out_specs checking stays ON.
+        # Gather via place-local-block + psum instead of all_gather: a ring
+        # all-reduce of the (n_shards*pool) array moves ~2x the bytes of an
+        # all_gather, but the pool is O(KB) so either is negligible; the
+        # win is that psum's output is *replicated-typed* under the
+        # varying-axes analysis, so everything downstream (hypotheses, the
+        # refined motion) is provably replicated and shard_map's out_specs
+        # checking stays ON.
         pc, pf, pa, pak, pv = _stratified_pool(
             coords, flow_n, alpha, alpha_k, valid, pool_per_shard)
         slot = jax.lax.axis_index(axis) * pool_per_shard

@@ -38,10 +38,19 @@ def estimate_inverse_depth(coords, flow, v, w, k, alpha, alpha_k):
       depth information (the reference's Ceres leaves its ρ = 1 init there;
       such pixels score as outliers either way).
     """
+    rho, _ = estimate_inverse_depth_info(coords, flow, v, w, k,
+                                         alpha, alpha_k)
+    return rho
+
+
+def estimate_inverse_depth_info(coords, flow, v, w, k, alpha, alpha_k):
+    """Like estimate_inverse_depth, but also returns the informative mask
+    (True where ‖β·A·v‖ > 0, i.e. the pixel actually constrains ρ)."""
     beta = beta_factor(alpha, alpha_k, k)
     g = beta[..., None] * translational_flow(coords, v)  # (..., 2)
     rhs = flow - beta[..., None] * rotational_flow(coords, w)  # (..., 2)
     gg = jnp.sum(g * g, axis=-1)
     gr = jnp.sum(g * rhs, axis=-1)
-    safe = jnp.where(gg == 0.0, jnp.ones_like(gg), gg)
-    return jnp.where(gg == 0.0, jnp.zeros_like(gr), gr / safe)
+    informative = gg != 0.0
+    safe = jnp.where(informative, gg, jnp.ones_like(gg))
+    return jnp.where(informative, gr / safe, jnp.zeros_like(gr)), informative

@@ -261,8 +261,15 @@ def ransac(
     if top_j > 1:
         # Multi-start support: also expose the top-J hypotheses by the same
         # composite score, for downstream refine-and-rescore selection
-        # (solver.pipeline with PipelineConfig.refine_starts > 1).
-        tops = jax.lax.top_k(score, top_j)[1]
+        # (solver.pipeline with PipelineConfig.refine_starts > 1).  J is
+        # clamped to the number of scored hypotheses (prescore_keep can be
+        # smaller than refine_starts); the last row repeats to keep the
+        # output shape static.
+        j_eff = min(top_j, score.shape[0])
+        tops = jax.lax.top_k(score, j_eff)[1]
+        if j_eff < top_j:
+            tops = jnp.concatenate(
+                [tops, jnp.repeat(tops[-1:], top_j - j_eff)])
         top_v, top_w, top_k = v_all[tops], w_all[tops], k_all[tops]
     else:
         top_v, top_w, top_k = v_b[None], w_b[None], k_b[None]

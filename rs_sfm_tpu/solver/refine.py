@@ -33,7 +33,8 @@ import jax.numpy as jnp
 
 from rs_sfm_tpu.ops import linalg
 from rs_sfm_tpu.solver.beta import beta_factor, beta_factor_dk
-from rs_sfm_tpu.solver.depth import estimate_inverse_depth
+from rs_sfm_tpu.solver.depth import (estimate_inverse_depth,
+                                     estimate_inverse_depth_info)
 from rs_sfm_tpu.solver.flow_model import rotational_flow, translational_flow
 
 
@@ -205,9 +206,13 @@ def refine(
         # iteration, 200 iterations from k=0 to k̂=0.47); VarPro reaches the
         # same optimum in ~10.  Masked-out pixels keep their incoming ρ
         # (pass-through contract).
-        rho_star = estimate_inverse_depth(coords, flow, v_new, w_new,
-                                          k_new, alpha, alpha_k)
-        rho_new = jnp.where(mask, rho_star, rho)
+        rho_star, informative = estimate_inverse_depth_info(
+            coords, flow, v_new, w_new, k_new, alpha, alpha_k)
+        # Uninformative pixels (vanishing translational flow) keep their
+        # incoming ρ — matches the Pallas kernel's d==0 behavior and the
+        # reference's Ceres (which leaves its ρ init untouched there);
+        # cost-neutral either way.
+        rho_new = jnp.where(mask & informative, rho_star, rho)
 
         new_cost = cost_fn(v_new, w_new, k_new, rho_new)
         accept = (new_cost < cost) & jnp.isfinite(new_cost)

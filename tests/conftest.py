@@ -18,10 +18,24 @@ import os
 # "LLVM compilation error: Cannot allocate memory" → SIGSEGV.  Raise it when
 # we can (tests run as root in CI); ignore failures elsewhere.
 try:
-    with open("/proc/sys/vm/max_map_count") as _f:
-        if int(_f.read()) < 1_000_000:
+    if os.environ.get("RS_SFM_NO_SYSCTL", "0") != "1":
+        with open("/proc/sys/vm/max_map_count") as _f:
+            _old_map_count = int(_f.read())
+        if _old_map_count < 1_000_000:
             with open("/proc/sys/vm/max_map_count", "w") as _g:
                 _g.write("1048576")
+            # Host-wide kernel state: restore the previous value when the
+            # test process exits (set RS_SFM_NO_SYSCTL=1 to skip entirely).
+            import atexit
+
+            def _restore(old=_old_map_count):
+                try:
+                    with open("/proc/sys/vm/max_map_count", "w") as f:
+                        f.write(str(old))
+                except OSError:
+                    pass
+
+            atexit.register(_restore)
 except OSError:
     pass
 
