@@ -83,6 +83,19 @@ class PipelineConfig:
     # escape; J=4 collapses that seed variance.  1 = reference behavior
     # (refine only the winner).  Cost: J refinements instead of one.
     refine_starts: int = 1
+    # Deterministic k initialization (constant-acceleration mode): before
+    # LM, evaluate the refinement objective on this many k grid points
+    # (closed-form ρ + exact linear (v,w) re-fit per point, solver/kscan.py)
+    # and start LM from the grid winner.  Kills the f32 k≈−1 mirror-basin
+    # convergences (basins are compared by cost, not by which one LM falls
+    # into).  0 = off (LM from the RANSAC k̂, the reference-like behavior).
+    k_scan_points: int = 17
+    k_scan_min: float = -1.2
+    k_scan_max: float = 2.0
+    k_scan_iters: int = 3
+    # Sharded RANSAC sampling (estimate_sharded): stratified pixels each
+    # shard contributes to the globally shared 9-point sample pool.
+    ransac_sample_pool: int = 1024
     # Two-stage RANSAC scoring: rank hypotheses on this many stratified
     # pixels, full-score only the top ransac_prescore_keep (0 = score all
     # hypotheses on all pixels, the reference's behavior).

@@ -43,6 +43,14 @@ class DenseFlowConfig(NamedTuple):
     # component I − α·blur(I), suppressing illumination changes and shadows
     # (the standard TV-L1/DeepFlow-class preprocessing for real images).
     struct_texture: float = 0.0  # 0 = off; typical 0.8-0.95 for real pairs
+    # Local contrast normalization: replace I by
+    #   (I − μ) / √(σ² + lcn²),  μ/σ² = local (double-5-tap) mean/variance.
+    # Invariant to any smooth gain AND offset field (exposure, vignetting)
+    # — the census property — while keeping the data term a plain
+    # brightness constancy, so the fused Pallas SOR kernel and the
+    # discrete-matching stages work unchanged.  This is the production
+    # robust preprocessing; `lcn` is the contrast floor (≈ noise level).
+    lcn: float = 0.0  # 0 = off; typical 0.03-0.08 for real imagery
     # Discrete matching (DeepFlow's matching-term role):
     #  - exhaustive ±init_search_radius search at the coarsest level;
     #  - warp-local ±refine_search_radius search at every non-finest level
@@ -50,10 +58,19 @@ class DenseFlowConfig(NamedTuple):
     # Captures displacements up to ~radius·2^levels px at full resolution.
     init_search_radius: int = 8   # 0 = pure variational
     refine_search_radius: int = 4  # 0 = off
-    # Apply the warp-local search only at levels whose min dimension is at
-    # most this (gather-heavy warps at near-full resolution cost seconds at
-    # full-HD; large displacements are locked in by the coarse levels).
+    # Apply the warp-local search at full radius only at levels whose min
+    # dimension is at most this ((2r+1)² warps at near-full resolution are
+    # the cost driver; large displacements are locked in by the coarse
+    # levels).
     refine_max_size: int = 192
+    # Above refine_max_size (every non-finest level), run the warp-local
+    # search at this smaller radius instead (0 = off).  Upsampling doubles
+    # the flow vectors, so a sub-pixel error at one level becomes a
+    # multi-pixel error at the next — beyond the variational term's
+    # linearization range; a cheap ±2 px integer re-search per level keeps
+    # the error inside it (the DIS-style inverse-search role).  Without
+    # this, full-HD errors compound to ~5 px even on clean scenes.
+    refine_fine_radius: int = 2
     # Ternary-census data term (0 = off): 8 soft-sign neighbor-comparison
     # channels, each with its own Charbonnier penalty — invariant to any
     # monotone local illumination change (stronger than structure-texture,
@@ -78,7 +95,16 @@ class DenseFlowConfig(NamedTuple):
     # (motion discontinuities inside a block) samples clamp to the window
     # edge and the robust data term absorbs the error.
     warp_engine: str = "xla"
-    warp_radius: int = 6
+    # Residual budget of the Pallas warp: full-HD RS flow fields carry
+    # 30-45 px spreads across a 40x128 block at depth discontinuities
+    # (measured, results/flow_variants.json: radius 6 cost ~0.7 px of
+    # median EPE on clean full-HD; 16 matches the exact XLA warp to 0.03).
+    warp_radius: int = 16
+    # Forward-backward occlusion test (flow_forward_backward): pixel x is
+    # flagged when |w_f(x) + w_b(x+w_f)|² > occ_rel·(|w_f|²+|w_b|²) +
+    # occ_abs (Sundaram-Brox thresholds).
+    occ_rel: float = 0.01
+    occ_abs: float = 0.5
 
 
 def _to_gray(img):
@@ -88,14 +114,43 @@ def _to_gray(img):
     return img
 
 
+def _shift(x, s: int, axis: int):
+    """Edge-clamped shift: out[i] = x[clip(i - s, 0, n-1)] along `axis`.
+
+    Same sign convention as jnp.roll, but replicating the edge instead of
+    wrapping around.  Wrap-around is actively wrong for RS flow fields: the
+    per-scanline pose makes the top and bottom rows of the flow field
+    maximally different, so a torus smoothness/stencil boundary drags both
+    ends toward each other (and blur/gradient wraps bleed opposite borders
+    into the data term).
+    """
+    if s == 0:
+        return x
+    n = x.shape[axis]
+    if s > 0:
+        body = jax.lax.slice_in_dim(x, 0, n - s, axis=axis)
+        edge = jax.lax.slice_in_dim(x, 0, 1, axis=axis)
+        parts = [edge] * s + [body]
+    else:
+        body = jax.lax.slice_in_dim(x, -s, n, axis=axis)
+        edge = jax.lax.slice_in_dim(x, n - 1, n, axis=axis)
+        parts = [body] + [edge] * (-s)
+    return jnp.concatenate(parts, axis=axis)
+
+
+def _shift2(x, dy: int, dx: int):
+    """Edge-clamped 2-D shift (rows axis 0, cols axis 1)."""
+    return _shift(_shift(x, dy, 0), dx, 1)
+
+
 def _gauss_blur(x):
-    """5-tap binomial blur, separable (reflect padding via edge rolls)."""
+    """5-tap binomial blur, separable, edge-replicated boundaries."""
     k = jnp.asarray([1.0, 4.0, 6.0, 4.0, 1.0], x.dtype) / 16.0
 
     def conv1d(v, axis):
         out = jnp.zeros_like(v)
         for i, w in enumerate(k):
-            out = out + w * jnp.roll(v, i - 2, axis=axis)
+            out = out + w * _shift(v, i - 2, axis)
         return out
 
     return conv1d(conv1d(x, 0), 1)
@@ -143,9 +198,12 @@ def _warp(img, flow):
 
 
 def _gradients(img):
-    """Central-difference spatial gradients (last two axes = y, x)."""
-    gx = (jnp.roll(img, -1, axis=-1) - jnp.roll(img, 1, axis=-1)) * 0.5
-    gy = (jnp.roll(img, -1, axis=-2) - jnp.roll(img, 1, axis=-2)) * 0.5
+    """Central-difference spatial gradients, edge-clamped boundaries
+    (one-sided half-differences at the borders)."""
+    ax_x = img.ndim - 1
+    ax_y = img.ndim - 2
+    gx = (_shift(img, -1, ax_x) - _shift(img, 1, ax_x)) * 0.5
+    gy = (_shift(img, -1, ax_y) - _shift(img, 1, ax_y)) * 0.5
     return gx, gy
 
 
@@ -172,15 +230,14 @@ def _census_channels(img, sigma):
     Constancy of these channels is invariant to monotone local illumination
     changes (the census property), unlike brightness or gradient constancy.
     """
-    ch = [jnp.roll(img, (dy, dx), axis=(0, 1)) - img
-          for dy, dx in _CENSUS_OFFSETS]
+    ch = [_shift2(img, dy, dx) - img for dy, dx in _CENSUS_OFFSETS]
     c = jnp.stack(ch)  # (8, H, W)
     return c / jnp.sqrt(c * c + sigma * sigma)
 
 
 def _median3(x):
-    """3x3 median via a 9-element sorting network on rolled copies."""
-    vals = [jnp.roll(x, (dy, dx), axis=(0, 1))
+    """3x3 median via a 9-element sorting network on edge-clamped shifts."""
+    vals = [_shift2(x, dy, dx)
             for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
 
     def cas(a, b):
@@ -207,8 +264,8 @@ def _coarse_init(i1, i2, radius: int):
 
     def box5(x):
         for axis in (0, 1):
-            x = (jnp.roll(x, -2, axis) + jnp.roll(x, -1, axis) + x
-                 + jnp.roll(x, 1, axis) + jnp.roll(x, 2, axis))
+            x = (_shift(x, -2, axis) + _shift(x, -1, axis) + x
+                 + _shift(x, 1, axis) + _shift(x, 2, axis))
         return x
 
     # Match on locally mean-removed images: gain/offset robust at THIS
@@ -252,8 +309,8 @@ def _discrete_refine(i1, i2, flow, radius: int, cfg):
 
     def box5(x):
         for axis in (0, 1):
-            x = (jnp.roll(x, -2, axis) + jnp.roll(x, -1, axis) + x
-                 + jnp.roll(x, 1, axis) + jnp.roll(x, 2, axis))
+            x = (_shift(x, -2, axis) + _shift(x, -1, axis) + x
+                 + _shift(x, 1, axis) + _shift(x, 2, axis))
         return x
 
     side = 2 * radius + 1
@@ -327,8 +384,10 @@ def _level_solve(i1, i2, flow, cfg: DenseFlowConfig):
             wg = cfg.gamma_grad / jnp.sqrt(rgx * rgx + rgy * rgy + eps2)
 
             def navg(z):
-                return (jnp.roll(z, 1, 0) + jnp.roll(z, -1, 0)
-                        + jnp.roll(z, 1, 1) + jnp.roll(z, -1, 1)) * 0.25
+                # Neumann boundary: the missing neighbor beyond an image
+                # edge is the edge pixel itself (edge-clamped shifts).
+                return (_shift(z, 1, 0) + _shift(z, -1, 0)
+                        + _shift(z, 1, 1) + _shift(z, -1, 1)) * 0.25
 
             ubar = navg(u)
             vbar = navg(v)
@@ -402,6 +461,15 @@ def dense_flow(image1, image2, cfg: DenseFlowConfig = DenseFlowConfig()):
     """
     i1 = _to_gray(jnp.asarray(image1))
     i2 = _to_gray(jnp.asarray(image2))
+    if cfg.lcn > 0.0:
+        def _lcn(x):
+            mu = _gauss_blur(_gauss_blur(x))
+            d = x - mu
+            var = _gauss_blur(_gauss_blur(d * d))
+            return d * jax.lax.rsqrt(var + cfg.lcn * cfg.lcn)
+
+        i1 = _lcn(i1)
+        i2 = _lcn(i2)
     if cfg.struct_texture > 0.0:
         i1 = i1 - cfg.struct_texture * _gauss_blur(_gauss_blur(i1))
         i2 = i2 - cfg.struct_texture * _gauss_blur(_gauss_blur(i2))
@@ -426,10 +494,14 @@ def dense_flow(image1, image2, cfg: DenseFlowConfig = DenseFlowConfig()):
     for lvl in range(max_levels - 1, -1, -1):
         if lvl != max_levels - 1:
             flow = _upsample_flow(flow, p1[lvl].shape)
-        if (lvl != 0 and cfg.refine_search_radius > 0
-                and min(p1[lvl].shape) <= cfg.refine_max_size):
-            flow = _discrete_refine(p1[lvl], p2[lvl], flow,
-                                    cfg.refine_search_radius, cfg)
+        if lvl != 0:
+            if (cfg.refine_search_radius > 0
+                    and min(p1[lvl].shape) <= cfg.refine_max_size):
+                radius = cfg.refine_search_radius
+            else:
+                radius = cfg.refine_fine_radius
+            if radius > 0:
+                flow = _discrete_refine(p1[lvl], p2[lvl], flow, radius, cfg)
         flow = _level_solve(p1[lvl], p2[lvl], flow, cfg)
     return flow
 
@@ -465,5 +537,5 @@ def flow_forward_backward(image1, image2,
     sq = jnp.sum(rt * rt, axis=-1)
     mag = (jnp.sum(fw * fw, axis=-1)
            + jnp.sum(bw_at_fw * bw_at_fw, axis=-1))
-    occ = sq > 0.01 * mag + 0.5
+    occ = sq > cfg.occ_rel * mag + cfg.occ_abs
     return FlowWithOcclusion(flow=fw, backward=bw, occlusion=occ)

@@ -10,12 +10,16 @@ instead of once per sweep.
 
 Exactness (identical iteration semantics to the XLA loop):
   * the image is cut into row blocks with a halo of K = 2·sweeps rows on
-    each side, wrap-padded to match the XLA version's jnp.roll (torus)
-    boundary convention; the red-black dependence cone grows one row per
-    COLOR (two per sweep: the second color reads the first color's fresh
-    values), so after s in-VMEM sweeps every row further than 2s rows from
-    the block edge equals what the global sweep would produce — writing
-    only the interior TH rows reproduces the global iteration exactly;
+    each side; the red-black dependence cone grows one row per COLOR (two
+    per sweep: the second color reads the first color's fresh values), so
+    after s in-VMEM sweeps every row further than 2s rows from the block
+    edge equals what the global sweep would produce — writing only the
+    interior TH rows reproduces the global iteration exactly;
+  * boundary convention is Neumann (edge-clamped: the missing neighbor
+    beyond an image edge is the edge pixel itself), matching
+    flow/dense.py's `_shift`-based neighbor average; enforced in-kernel by
+    masking the rolled neighbor with the GLOBAL row/column index, so halo
+    rows beyond the first/last image row never influence the interior;
   * red-black order, over-relaxation, and lagged-diffusivity weights are
     the same expressions as flow/dense.py point_solve;
   * the checkerboard phase uses GLOBAL row parity: block b starts at
@@ -49,7 +53,8 @@ SWEEPS_PER_CALL = 4
 
 
 def _sor_kernel(coef_ref, uv_ref, out_ref, *, sweeps: int, omega: float,
-                lam: float, eps2: float, wbr: float, wgrad: float):
+                lam: float, eps2: float, wbr: float, wgrad: float,
+                h_total: int):
     """`sweeps` red-black SOR sweeps on one wrap-padded row block.
 
     coef_ref: (1, 8, TH+2K, W) VMEM; uv_ref: (1, 2, TH+2K, W) VMEM;
@@ -76,6 +81,21 @@ def _sor_kernel(coef_ref, uv_ref, out_ref, *, sweeps: int, omega: float,
     ys = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
     xs = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
     checker = ((ys + xs + k) % 2).astype(u.dtype)  # k even ⇒ global phase
+    # Global row index of each window row (block b starts at b·TH − K).
+    gy = ys + pl.program_id(0) * TH - k
+    top = gy == 0
+    bot = gy == h_total - 1
+    lf = xs == 0
+    rt = xs == cols - 1
+
+    def navg(z):
+        # Neumann (edge-clamped) neighbor average on GLOBAL image edges;
+        # interior block edges read true neighbor rows from the halo.
+        up_n = jnp.where(top, z, _roll(z, 1, 0))
+        dn_n = jnp.where(bot, z, _roll(z, -1, 0))
+        lf_n = jnp.where(lf, z, _roll(z, 1, 1))
+        rt_n = jnp.where(rt, z, _roll(z, -1, 1))
+        return (up_n + dn_n + lf_n + rt_n) * 0.25
 
     for _ in range(sweeps):
         for color in (0.0, 1.0):
@@ -87,10 +107,8 @@ def _sor_kernel(coef_ref, uv_ref, out_ref, *, sweeps: int, omega: float,
             rgy = cgy + ixy * u + iyy * v
             wg = wgrad * jax.lax.rsqrt(rgx * rgx + rgy * rgy + eps2)
 
-            ubar = (_roll(u, 1, 0) + _roll(u, -1, 0)
-                    + _roll(u, 1, 1) + _roll(u, -1, 1)) * 0.25
-            vbar = (_roll(v, 1, 0) + _roll(v, -1, 0)
-                    + _roll(v, 1, 1) + _roll(v, -1, 1)) * 0.25
+            ubar = navg(u)
+            vbar = navg(v)
             a11 = lam + wd * ix * ix + wg * (ixx * ixx + ixy * ixy)
             a12 = wd * ix * iy + wg * (ixx * ixy + ixy * iyy)
             a22 = lam + wd * iy * iy + wg * (ixy * ixy + iyy * iyy)
@@ -152,7 +170,8 @@ def sor_sweeps_pallas(coef, u, v, *, iters: int, omega: float, lam: float,
         uvb = _window_rows(jnp.stack([u, v]), TH, halo)   # (NB, 2, ·, W)
         call = pl.pallas_call(
             functools.partial(_sor_kernel, sweeps=sweeps, omega=omega,
-                              lam=lam, eps2=eps2, wbr=wbr, wgrad=wgrad),
+                              lam=lam, eps2=eps2, wbr=wbr, wgrad=wgrad,
+                              h_total=h),
             grid=(nb,),
             in_specs=[
                 pl.BlockSpec((1, 8, TH + 2 * halo, w),

@@ -36,7 +36,8 @@ class EstimationResult(NamedTuple):
     refine_cost: jax.Array  # () final refinement SSE (0 if refinement off)
 
 
-def prepare_flow_inputs(flow_px, intr: Intrinsics, gamma, cfg: PipelineConfig):
+def prepare_flow_inputs(flow_px, intr: Intrinsics, gamma, cfg: PipelineConfig,
+                        *, row_offset=None, total_rows: Optional[int] = None):
     """Flatten + normalize the flow grid and compute RS factors.
 
     Mirrors src/main.cc:398-434 — normalized coords (x−c)/f, α/α̃ on
@@ -44,18 +45,28 @@ def prepare_flow_inputs(flow_px, intr: Intrinsics, gamma, cfg: PipelineConfig):
     is normalized WITHOUT the reference's γ premultiply (see
     geom.camera.normalize_flow), so estimates come out per frame interval.
 
+    Args:
+      row_offset: global row index of this block's first row (scanline-block
+        sharding under shard_map: the grid y coordinates and α̃ must use
+        GLOBAL rows).  None = the block is the whole image.
+      total_rows: total image rows H for the α/α̃ scanline-time scaling
+        (defaults to the block height — correct only when unsharded).
+
     Returns:
       (coords (N,2), flow_n (N,2), alpha (N,), alpha_k (N,), valid (N,)).
     """
     h, w_cols = flow_px.shape[:2]
     dtype = flow_px.dtype
     grid = pixel_grid(h, w_cols, dtype=dtype)
+    if row_offset is not None:
+        grid = grid.at[..., 1].add(jnp.asarray(row_offset, dtype))
+    rows = total_rows if total_rows is not None else h
     coords = normalize_coords(grid, intr).reshape(-1, 2)
     flow_n = normalize_flow(flow_px, intr).reshape(-1, 2)
     fpx = flow_px.reshape(-1, 2)
     valid = jnp.sum(fpx * fpx, axis=-1) > cfg.flow_threshold
-    alpha = get_alpha(fpx[:, 1], h, gamma)
-    alpha_k = get_alpha_k(grid[..., 1].reshape(-1), fpx[:, 1], h, gamma)
+    alpha = get_alpha(fpx[:, 1], rows, gamma)
+    alpha_k = get_alpha_k(grid[..., 1].reshape(-1), fpx[:, 1], rows, gamma)
     if cfg.use_global_shutter:
         # GS baseline: α ≡ 1 (src/errorMeasure.cpp:106-111).
         alpha = jnp.ones_like(alpha)
@@ -71,6 +82,8 @@ def estimate_from_flow(
     *,
     axis_name: Optional[str] = None,
     pixel_mask=None,
+    row_offset=None,
+    total_rows: Optional[int] = None,
 ) -> EstimationResult:
     """Full estimation: flow grid → (v, w, k) + inverse-depth map.
 
@@ -79,31 +92,52 @@ def estimate_from_flow(
       intr: intrinsics; gamma: readout ratio.
       cfg: pipeline configuration.
       key: PRNG key for RANSAC sampling.
-      axis_name: collective axis when pixels are sharded (shard_map).
+      axis_name: collective axis when pixels are sharded (shard_map).  One
+        code path serves both engines: RANSAC samples from a globally
+        shared pool and reduces votes in one psum per stage, kscan/refine
+        psum their pixel reductions, and the sign flip uses the global mean
+        depth.  Scalar outputs are replicated; per-pixel outputs are the
+        local scanline block.
       pixel_mask: optional (H, W) bool — pixels where the flow is trusted
         (e.g. ~occlusion from flow.dense.flow_forward_backward).  ANDed
         into the validity mask before RANSAC/refinement; fixed-shape.
+      row_offset / total_rows: global row index of this block's first row
+        and total image rows (required under axis_name — see
+        prepare_flow_inputs).
 
     Returns:
-      EstimationResult on the full (H, W) grid.
+      EstimationResult on the full (H, W) grid (local block when sharded).
     """
     h, w_cols = flow_px.shape[:2]
     use_k = cfg.use_acceleration and not cfg.use_global_shutter
     coords, flow_n, alpha, alpha_k, valid = prepare_flow_inputs(
-        flow_px, intr, gamma, cfg)
+        flow_px, intr, gamma, cfg, row_offset=row_offset,
+        total_rows=total_rows)
     if pixel_mask is not None:
         valid = valid & pixel_mask.reshape(-1)
+
+    def _psum(x):
+        return jax.lax.psum(x, axis_name) if axis_name is not None else x
 
     rr: RansacResult = ransac(
         coords, flow_n, alpha, alpha_k, valid,
         key=key, use_k=use_k, trials=cfg.ransac_trials,
         tolerance=cfg.ransac_tol, chunk=cfg.ransac_chunk,
-        engine=cfg.ransac_engine if axis_name is None else "xla",
+        engine=cfg.ransac_engine,
         prescore_subsample=cfg.ransac_prescore_subsample,
         prescore_keep=cfg.ransac_prescore_keep,
-        top_j=cfg.refine_starts if cfg.use_refinement else 1)
+        top_j=cfg.refine_starts if cfg.use_refinement else 1,
+        axis_name=axis_name, sample_pool=cfg.ransac_sample_pool)
 
     def run_refine(inlier_mask, v0, w0, k0, rho0):
+        if use_k and cfg.k_scan_points > 0:
+            from rs_sfm_tpu.solver.kscan import k_scan
+
+            k_grid = jnp.linspace(cfg.k_scan_min, cfg.k_scan_max,
+                                  cfg.k_scan_points, dtype=coords.dtype)
+            v0, w0, k0, rho0, _ = k_scan(
+                coords, flow_n, alpha, alpha_k, inlier_mask, v0, w0,
+                k_grid, iters=cfg.k_scan_iters, axis_name=axis_name)
         if cfg.refine_engine == "pallas" and axis_name is None:
             from rs_sfm_tpu.solver.refine_pallas import refine_pallas
 
@@ -134,7 +168,10 @@ def estimate_from_flow(
             num_j, err_j, rho_rj, inl_rj = _score_hypotheses(
                 coords, flow_n, alpha, alpha_k, valid,
                 ref_j.v[None], ref_j.w[None], ref_j.k[None], cfg.ransac_tol)
-            cand = (num_j[0], err_j[0], ref_j, rho_rj[0], inl_rj[0])
+            # Global re-score under sharding (the lexicographic pick below
+            # must compare replicated values).
+            cand = (_psum(num_j[0]), _psum(err_j[0]), ref_j, rho_rj[0],
+                    inl_rj[0])
             if best is None:
                 best = cand
             else:
@@ -168,8 +205,8 @@ def estimate_from_flow(
     safe_rho = jnp.where(rho == 0.0, jnp.ones_like(rho), rho)
     z = jnp.where(rho == 0.0, jnp.zeros_like(rho), 1.0 / safe_rho)
     m = rr.inlier_mask.astype(z.dtype)
-    denom = jnp.maximum(jnp.sum(m), 1.0)
-    z_mean = jnp.sum(z * m) / denom
+    denom = jnp.maximum(_psum(jnp.sum(m)), 1.0)
+    z_mean = _psum(jnp.sum(z * m)) / denom
     flip = z_mean < 0.0
     sign = jnp.where(flip, -1.0, 1.0).astype(z.dtype)
     v = v * sign

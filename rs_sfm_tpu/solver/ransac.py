@@ -23,7 +23,7 @@ main is resolved in favor of explicit masking).
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -32,6 +32,32 @@ from rs_sfm_tpu.solver.depth import estimate_inverse_depth
 from rs_sfm_tpu.solver.flow_model import predict_flow
 from rs_sfm_tpu.solver.minimal import (calculate_velocities,
                                        calculate_velocities_all_k)
+
+
+def shared_sample_pool(coords, flow, alpha, alpha_k, valid, pool: int,
+                       axis_name: str):
+    """Globally shared stratified sample pool under scanline-block sharding.
+
+    Each shard contributes `pool` stratified local pixels; the union is
+    shared by writing each shard's slice into its slot of a zeros array and
+    psum-ing — a ring all-reduce moves ~2x the bytes of an all_gather, but
+    the pool is O(KB) and psum's output is *replicated-typed* under the
+    varying-axes analysis, so hypotheses drawn from it are provably
+    replicated and shard_map's out_specs checking stays ON.
+    """
+    n = coords.shape[0]
+    stride = max(n // pool, 1)
+    idx = (jnp.arange(pool) * stride) % n
+    slot = jax.lax.axis_index(axis_name) * pool
+    n_shards = jax.lax.psum(1, axis_name)
+
+    def share(x):
+        full = jnp.zeros((n_shards * pool,) + x.shape[1:], x.dtype)
+        full = jax.lax.dynamic_update_slice_in_dim(full, x[idx], slot, 0)
+        return jax.lax.psum(full, axis_name)
+
+    return (share(coords), share(flow), share(alpha), share(alpha_k),
+            share(valid.astype(jnp.int32)) > 0)
 
 
 class RansacResult(NamedTuple):
@@ -111,6 +137,8 @@ def ransac(
     prescore_keep: int = 16,
     compat_negate_k: bool = False,
     top_j: int = 1,
+    axis_name: Optional[str] = None,
+    sample_pool: int = 1024,
 ) -> RansacResult:
     """Batched RANSAC (reference minimal::ransac, src/minimal.cc:209-306).
 
@@ -140,6 +168,15 @@ def ransac(
       top_j: additionally expose the J best-scoring hypotheses in
         RansacResult.top_{v,w,k} for multi-start refinement (the winner is
         always top_v[0] when J == 1).
+      axis_name: collective axis when the pixel arrays are a scanline block
+        of a sharded image (shard_map).  Sampling then draws from a
+        globally shared stratified pool (shared_sample_pool) so 9-point
+        samples span the whole image; per-hypothesis votes reduce in ONE
+        psum of the stacked (T, 2) vote table per scoring stage — O(1)
+        collectives per RANSAC, not per hypothesis.  Scalar outputs
+        (v/w/k/num_inliers/top_*) are replicated; inv_depth/inlier_mask
+        stay local to the shard's pixels.
+      sample_pool: per-shard stratified pool size for sharded sampling.
 
     Returns:
       RansacResult for the lexicographically best hypothesis.
@@ -147,11 +184,22 @@ def ransac(
     n = coords.shape[0]
     solver_dt = jnp.float64 if jax.config.jax_enable_x64 else coords.dtype
 
-    idx = sample_valid_indices(key, valid_mask, trials)
-    q = coords[idx].astype(solver_dt)       # (T, 9, 2)
-    u = flow[idx].astype(solver_dt)
-    a9 = alpha[idx].astype(solver_dt)       # (T, 9)
-    ak9 = alpha_k[idx].astype(solver_dt)
+    if axis_name is not None:
+        engine = "xla"  # the Pallas scorer is single-device
+        pool = min(sample_pool, n)
+        pc, pf, pa, pak, pv = shared_sample_pool(
+            coords, flow, alpha, alpha_k, valid_mask, pool, axis_name)
+        idx = sample_valid_indices(key, pv, trials)
+        q = pc[idx].astype(solver_dt)       # (T, 9, 2)
+        u = pf[idx].astype(solver_dt)
+        a9 = pa[idx].astype(solver_dt)      # (T, 9)
+        ak9 = pak[idx].astype(solver_dt)
+    else:
+        idx = sample_valid_indices(key, valid_mask, trials)
+        q = coords[idx].astype(solver_dt)   # (T, 9, 2)
+        u = flow[idx].astype(solver_dt)
+        a9 = alpha[idx].astype(solver_dt)   # (T, 9)
+        ak9 = alpha_k[idx].astype(solver_dt)
     if use_k and k_mode == "score":
         w_all, v_all, k_all, valid_h = calculate_velocities_all_k(q, u, a9, ak9)
         w_all = w_all.reshape(-1, 3)
@@ -193,9 +241,19 @@ def ransac(
             pre_chunk, None,
             (v_p.reshape(-1, chunk, 3), w_p.reshape(-1, chunk, 3),
              k_p.reshape(-1, chunk)))
-        pn = jnp.where(valid_h, pn.reshape(-1)[:trials], -1)
+        pn = pn.reshape(-1)[:trials]
         pe = pe.reshape(-1)[:trials]
-        big_s = jnp.asarray(prescore_subsample * tolerance + 1.0, pe.dtype)
+        sub_total = prescore_subsample
+        if axis_name is not None:
+            # ONE psum of the stacked vote table (global ranking over the
+            # union of the shards' stratified subsamples).
+            pvotes = jax.lax.psum(
+                jnp.stack([pn.astype(pe.dtype), pe], axis=-1), axis_name)
+            pn = pvotes[:, 0].astype(jnp.int32)
+            pe = pvotes[:, 1]
+            sub_total = prescore_subsample * jax.lax.psum(1, axis_name)
+        pn = jnp.where(valid_h, pn, -1)
+        big_s = jnp.asarray(sub_total * tolerance + 1.0, pe.dtype)
         pre_score = pn.astype(pe.dtype) * big_s - jnp.where(
             jnp.isfinite(pe), pe, big_s)
         top = jax.lax.top_k(pre_score, prescore_keep)[1]
@@ -243,12 +301,23 @@ def ransac(
             score_chunk, None, (v_ch, w_ch, k_ch))
         nums = nums.reshape(-1)[:trials]
         ierrs = ierrs.reshape(-1)[:trials]
+    n_total = n
+    if axis_name is not None:
+        # ONE psum of the stacked (T, 2) vote table per RANSAC — not two
+        # scalar psums per hypothesis, which would serialize ~2·T
+        # collectives on real ICI.
+        votes = jax.lax.psum(
+            jnp.stack([nums.astype(ierrs.dtype), ierrs], axis=-1),
+            axis_name)
+        nums = votes[:, 0].astype(jnp.int32)
+        ierrs = votes[:, 1]
+        n_total = n * jax.lax.psum(1, axis_name)
     nums = jnp.where(valid_h, nums, -1)
 
     # Lexicographic (num desc, err asc) via composite score; error sums are
     # bounded by N·tol so the integer part dominates.  Ties keep the earliest
     # trial, like the reference's strict comparisons (src/minimal.cc:278).
-    big = jnp.asarray(n * tolerance + 1.0, ierrs.dtype)
+    big = jnp.asarray(n_total * tolerance + 1.0, ierrs.dtype)
     score = nums.astype(ierrs.dtype) * big - jnp.where(
         jnp.isfinite(ierrs), ierrs, big)
     best = jnp.argmax(score)
@@ -257,6 +326,12 @@ def ransac(
     num_b, ierr_b, rho_b, inlier_b = _score_hypotheses(
         coords, flow, alpha, alpha_k, valid_mask,
         v_b[None], w_b[None], k_b[None], tolerance)
+    if axis_name is not None:
+        bvote = jax.lax.psum(
+            jnp.stack([num_b.astype(ierr_b.dtype), ierr_b], axis=-1),
+            axis_name)
+        num_b = bvote[:, 0].astype(jnp.int32)
+        ierr_b = bvote[:, 1]
 
     if top_j > 1:
         # Multi-start support: also expose the top-J hypotheses by the same

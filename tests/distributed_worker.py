@@ -71,8 +71,8 @@ def main():
         flow_host.shape,
         NamedSharding(mesh_px, P("pixels", None, None)),
         lambda idx: flow_host[idx])
-    v_s, w_s, k_s, depth, inlier, num = jax.jit(run_sharded)(
-        flow_global, key)
+    res_s = jax.jit(run_sharded)(flow_global, key)
+    v_s, w_s = res_s.v, res_s.w
 
     # --- GSPMD path: 2 pairs sharded over ('pairs', 'pixels').
     batch_host = np.stack([flow_host, flow_host])
@@ -97,7 +97,7 @@ def main():
         "process_id": process_id,
         "sharded_v": np.asarray(v_s).tolist(),
         "sharded_w": np.asarray(w_s).tolist(),
-        "sharded_num": int(num),
+        "sharded_num": int(res_s.num_inliers),
         "batched_v": batched_v.tolist(),
         "batched_num": batched_num.tolist(),
     }

@@ -62,7 +62,8 @@ def test_shard_map_matches_single_device():
                          refine_iterations=30)
     mesh = make_mesh(pairs=1, pixels=8)
     run = estimate_sharded(mesh, intr, GAMMA, cfg, pool_per_shard=256)
-    v, w, k, depth, inlier, num = run(flow, jax.random.PRNGKey(0))
+    res = run(flow, jax.random.PRNGKey(0))
+    v, w, num = res.v, res.w, res.num_inliers
     _check(v, w)
     assert int(num) > 0.5 * H * W
     # Single-device reference on the same flow.
@@ -73,3 +74,39 @@ def test_shard_map_matches_single_device():
     v2 = np.asarray(ref.v) / np.linalg.norm(ref.v)
     assert np.arccos(np.clip(abs(v1 @ v2), -1, 1)) < 2e-3
     assert np.linalg.norm(np.asarray(w) - np.asarray(ref.w)) < 1e-4
+
+
+def test_sharded_full_features():
+    """The de-forked sharded path runs the FULL pipeline feature set —
+    acceleration model (k-scan), two-stage prescore, multi-start
+    refinement — through the same estimate_from_flow code path."""
+    flow, intr = _flow()
+    cfg = PipelineConfig(ransac_trials=64, ransac_tol=0.01,
+                         refine_iterations=20, refine_starts=2,
+                         use_acceleration=True, k_scan_points=9,
+                         ransac_prescore_subsample=256,
+                         ransac_prescore_keep=8)
+    mesh = make_mesh(pairs=1, pixels=8)
+    run = estimate_sharded(mesh, intr, GAMMA, cfg, pool_per_shard=256)
+    res = run(flow, jax.random.PRNGKey(3))
+    _check(res.v, res.w)
+    assert abs(float(res.k)) < 0.3  # true k = 0
+    assert int(res.num_inliers) > 0.5 * H * W
+
+
+def test_sharded_collective_count_o1_in_trials():
+    """O(1) collectives per RANSAC: the compiled all-reduce count must not
+    grow with the number of hypotheses (votes reduce as ONE stacked table,
+    never per hypothesis)."""
+    flow, intr = _flow(dtype=jnp.float32)
+    mesh = make_mesh(pairs=1, pixels=8)
+    counts = []
+    for trials in (16, 64):
+        cfg = PipelineConfig(ransac_trials=trials, ransac_tol=0.01,
+                             refine_iterations=5)
+        run = estimate_sharded(mesh, intr, GAMMA, cfg, pool_per_shard=128)
+        txt = (jax.jit(run)
+               .lower(flow, jax.random.PRNGKey(0))
+               .compile().as_text())
+        counts.append(txt.count("all-reduce"))
+    assert counts[0] == counts[1], counts
