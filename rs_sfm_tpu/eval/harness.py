@@ -86,9 +86,11 @@ def compute_flow(pair: PairData, use_deep_flow: bool = False,
                      pair.intrinsics)
 
 
-@functools.partial(jax.jit, static_argnames=("intr", "gamma", "cfg"))
+@functools.partial(jax.jit,
+                   static_argnames=("intr", "gamma", "cfg", "has_mask"))
 def _evaluate_batched_jit(flow_px, rs_image, true_depth, poses_r, poses_t,
-                          v_true, w_true, intr, gamma, cfg, keys):
+                          v_true, w_true, intr, gamma, cfg, keys,
+                          pixel_mask=None, has_mask=False):
     """All evaluations of one pair in one device call (lax.map over keys).
 
     The jittable core of the evaluateVelocities protocol
@@ -99,7 +101,8 @@ def _evaluate_batched_jit(flow_px, rs_image, true_depth, poses_r, poses_t,
     h = flow_px.shape[0]
 
     def one(key):
-        res = estimate_from_flow(flow_px, intr, gamma, cfg, key)
+        res = estimate_from_flow(flow_px, intr, gamma, cfg, key,
+                                 pixel_mask=pixel_mask if has_mask else None)
         r_sl, t_sl = scanline_poses(res.v, res.w, res.k, h, gamma,
                                     dtype=dtype)
         rect = backproject(rs_image, res.depth_map, r_sl, t_sl, intr)
@@ -123,15 +126,23 @@ def evaluate_velocities_batched(
     dtype=None,
     flow_px=None,
     true_depth=None,
+    pixel_mask=None,
 ) -> VelocityErrors:
     """evaluate_velocities with all evaluations fused into ONE jitted call.
 
     The reference protocol repeats the full RANSAC+refinement 50 times per
     configuration (report §5.4); running the repetition as a lax.map inside
     jit amortizes dispatch/tunnel latency — essential for the 600×600
-    figure-4/5 sweeps on TPU.  GT-flow path only (pass flow_px/true_depth
-    to skip recomputation, e.g. when they were produced in f64 by a
-    separate render process — scripts/figure4_protocol.py).
+    figure-4/5 sweeps on TPU.  Pass flow_px/true_depth to skip
+    recomputation (e.g. f64 renders from a separate process —
+    scripts/figure4_protocol.py — or an ESTIMATED dense flow field, which
+    together with pixel_mask runs the robust/stress configurations under
+    the full repetition protocol).
+
+    Args:
+      pixel_mask: optional (H, W) bool of trusted pixels (e.g.
+        ~occlusion from flow.dense.flow_forward_backward), applied in
+        every evaluation.
     """
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
@@ -153,7 +164,10 @@ def evaluate_velocities_batched(
         jnp.asarray(pair.frame1.poses_r, dtype),
         jnp.asarray(pair.frame1.poses_t, dtype),
         jnp.asarray(pair.v, dtype), jnp.asarray(pair.w, dtype),
-        pair.intrinsics, gamma, cfg, keys)
+        pair.intrinsics, gamma, cfg, keys,
+        pixel_mask=(jnp.asarray(pixel_mask)
+                    if pixel_mask is not None else None),
+        has_mask=pixel_mask is not None)
     w, v, k = np.asarray(w).T, np.asarray(v).T, np.asarray(k)
     ew, ev, er = np.asarray(ew), np.asarray(ev), np.asarray(er)
     return VelocityErrors(
@@ -270,6 +284,14 @@ def evaluate_velocities(
             artifacts.imwrite(
                 os.path.join(image_path, f"depth_{run}.png"),
                 artifacts.depth_image(res.depth_map))
+            # Per-evaluation point cloud (the reference writes one PLY per
+            # evaluation, src/errorMeasure.cpp:229-230).
+            from rs_sfm_tpu.data.ply import write_ply
+
+            write_ply(os.path.join(image_path, f"point_cloud_{run}.ply"),
+                      np.asarray(rect.coords_3d),
+                      np.asarray(pair.frame1.rs_image),
+                      mask=np.asarray(rect.valid))
 
     return VelocityErrors(
         w=np.stack(ws, axis=1), v=np.stack(vs, axis=1), k=np.asarray(ks),

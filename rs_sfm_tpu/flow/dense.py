@@ -51,6 +51,21 @@ class DenseFlowConfig(NamedTuple):
     # discrete-matching stages work unchanged.  This is the production
     # robust preprocessing; `lcn` is the contrast floor (≈ noise level).
     lcn: float = 0.0  # 0 = off; typical 0.03-0.08 for real imagery
+    # Multiplicative gain correction (exposure / vignetting), measured as
+    # the strongest robust mode on the full-HD photometric stress scene
+    # (results/flow_variants.json): per warp, the smooth gain-ratio field
+    # of the ALIGNED pair (blur(I1)/blur(I2w) at the level's grid scale,
+    # clipped to [0.7, 1.4]) is multiplied into I2w before linearization —
+    # residual illumination vanishes as the flow converges (measured on
+    # GT-aligned full-HD photo pair: |residual| 0.075 → 0.0018).  The
+    # ratio MUST be computed aligned — an up-front unaligned ratio at any
+    # blur scale carries ~0.2 std of parallax-induced structure and
+    # corrupts the data term.  The discrete matching stages switch to
+    # contrast-normalized patches (gain-invariant) under this flag.  On
+    # photometrically clean pairs the aligned ratio is ≈1, so the mode is
+    # a no-op — unlike census/LCN it costs no accuracy on clean scenes,
+    # and it adds no data-term channels (fused Pallas SOR compatible).
+    gain_correct: bool = False
     # Discrete matching (DeepFlow's matching-term role):
     #  - exhaustive ±init_search_radius search at the coarsest level;
     #  - warp-local ±refine_search_radius search at every non-finest level
@@ -64,13 +79,14 @@ class DenseFlowConfig(NamedTuple):
     # levels).
     refine_max_size: int = 192
     # Above refine_max_size (every non-finest level), run the warp-local
-    # search at this smaller radius instead (0 = off).  Upsampling doubles
-    # the flow vectors, so a sub-pixel error at one level becomes a
-    # multi-pixel error at the next — beyond the variational term's
-    # linearization range; a cheap ±2 px integer re-search per level keeps
-    # the error inside it (the DIS-style inverse-search role).  Without
-    # this, full-HD errors compound to ~5 px even on clean scenes.
-    refine_fine_radius: int = 2
+    # search at this smaller radius instead (0 = off) — the DIS-style
+    # inverse-search role for fine levels.  Measured at full-HD
+    # (results/flow_variants.json): with the warp residual budget at 16 it
+    # buys nothing (the variational term tracks fine-level corrections
+    # once warping is exact) and costs ~45% wall-clock, so it defaults
+    # off; it remains available for scenes with very fast fine-scale
+    # motion.
+    refine_fine_radius: int = 0
     # Ternary-census data term (0 = off): 8 soft-sign neighbor-comparison
     # channels, each with its own Charbonnier penalty — invariant to any
     # monotone local illumination change (stronger than structure-texture,
@@ -105,6 +121,15 @@ class DenseFlowConfig(NamedTuple):
     # occ_abs (Sundaram-Brox thresholds).
     occ_rel: float = 0.01
     occ_abs: float = 0.5
+    # Photoconsistency occlusion cue: additionally flag pixels where
+    # |LCN(I1) − warp(LCN(I2))| exceeds this (in local-contrast units,
+    # ~N(0,1) scaled; 0 = off).  Catches occlusion SMEAR bands the FB test
+    # misses: background covered by a moving foreground edge inherits the
+    # foreground's flow, and the backward flow of the foreground surface
+    # round-trips consistently — both checks agree on the wrong answer,
+    # but the warped texture does not match (measured: the failure stripes
+    # at the castle tower edges, results/flow_variants.json).
+    occ_photo: float = 0.0
 
 
 def _to_gray(img):
@@ -235,6 +260,15 @@ def _census_channels(img, sigma):
     return c / jnp.sqrt(c * c + sigma * sigma)
 
 
+def _local_contrast_norm(x, eps: float):
+    """(x − μ)/√(σ² + eps²) with local (double-5-tap) mean μ and variance
+    σ² — invariant to smooth gain and offset fields (exposure, vignette)."""
+    mu = _gauss_blur(_gauss_blur(x))
+    d = x - mu
+    var = _gauss_blur(_gauss_blur(d * d))
+    return d * jax.lax.rsqrt(var + eps * eps)
+
+
 def _median3(x):
     """3x3 median via a 9-element sorting network on edge-clamped shifts."""
     vals = [_shift2(x, dy, dx)
@@ -253,7 +287,7 @@ def _median3(x):
     return v[4]
 
 
-def _coarse_init(i1, i2, radius: int):
+def _coarse_init(i1, i2, radius: int, cfg=None):
     """Exhaustive integer-displacement search at the coarsest level.
 
     For every pixel, pick the displacement in [−radius, radius]² minimizing
@@ -268,11 +302,17 @@ def _coarse_init(i1, i2, radius: int):
                  + _shift(x, 1, axis) + _shift(x, 2, axis))
         return x
 
-    # Match on locally mean-removed images: gain/offset robust at THIS
-    # level's scale, and immune to preprocessing (struct-texture high-pass
-    # leaves no coarse-level content to match on otherwise).
-    i1 = i1 - _gauss_blur(i1)
-    i2 = i2 - _gauss_blur(i2)
+    # Match on locally mean-removed images: offset robust at THIS level's
+    # scale, and immune to preprocessing (struct-texture high-pass leaves
+    # no coarse-level content to match on otherwise).  Under gain_correct,
+    # contrast-normalize too (NCC-like): multiplicative gain then cancels
+    # from the match cost.
+    if cfg is not None and cfg.gain_correct:
+        i1 = _local_contrast_norm(i1, 0.05)
+        i2 = _local_contrast_norm(i2, 0.05)
+    else:
+        i1 = i1 - _gauss_blur(i1)
+        i2 = i2 - _gauss_blur(i2)
     # One scanned body over all (2r+1)² displacements (an unrolled loop of
     # static rolls makes XLA compile times explode); the shifted window
     # comes from a dynamic slice of the edge-padded image.
@@ -303,9 +343,13 @@ def _coarse_init(i1, i2, radius: int):
 def _discrete_refine(i1, i2, flow, radius: int, cfg):
     """Warp-local integer search: test flow + d for d ∈ [−radius, radius]²
     and keep the best box-filtered SSD per pixel (on locally mean-removed
-    images — gain/offset robust)."""
-    i1 = i1 - _gauss_blur(i1)
-    i2 = i2 - _gauss_blur(i2)
+    images; contrast-normalized too under gain_correct)."""
+    if cfg.gain_correct:
+        i1 = _local_contrast_norm(i1, 0.05)
+        i2 = _local_contrast_norm(i2, 0.05)
+    else:
+        i1 = i1 - _gauss_blur(i1)
+        i2 = i2 - _gauss_blur(i2)
 
     def box5(x):
         for axis in (0, 1):
@@ -342,6 +386,13 @@ def _level_solve(i1, i2, flow, cfg: DenseFlowConfig):
     g1x, g1y = _gradients(i1)
     for _ in range(cfg.warps):
         i2w = _warp_cfg(i2, flow, cfg)
+        if cfg.gain_correct:
+            # Aligned-pair gain refinement: the residual illumination field
+            # at this level's grid scale (clipped so true intensity
+            # differences — movers, occlusions — are not erased).
+            b1 = _gauss_blur(_gauss_blur(_gauss_blur(_gauss_blur(i1))))
+            b2 = _gauss_blur(_gauss_blur(_gauss_blur(_gauss_blur(i2w))))
+            i2w = i2w * jnp.clip((b1 + 1e-2) / (b2 + 1e-2), 0.7, 1.4)
         ix, iy = _gradients(i2w)
         it = i2w - i1
         # Gradient constancy (Brox term): second derivatives of the warped
@@ -462,14 +513,8 @@ def dense_flow(image1, image2, cfg: DenseFlowConfig = DenseFlowConfig()):
     i1 = _to_gray(jnp.asarray(image1))
     i2 = _to_gray(jnp.asarray(image2))
     if cfg.lcn > 0.0:
-        def _lcn(x):
-            mu = _gauss_blur(_gauss_blur(x))
-            d = x - mu
-            var = _gauss_blur(_gauss_blur(d * d))
-            return d * jax.lax.rsqrt(var + cfg.lcn * cfg.lcn)
-
-        i1 = _lcn(i1)
-        i2 = _lcn(i2)
+        i1 = _local_contrast_norm(i1, cfg.lcn)
+        i2 = _local_contrast_norm(i2, cfg.lcn)
     if cfg.struct_texture > 0.0:
         i1 = i1 - cfg.struct_texture * _gauss_blur(_gauss_blur(i1))
         i2 = i2 - cfg.struct_texture * _gauss_blur(_gauss_blur(i2))
@@ -488,7 +533,7 @@ def dense_flow(image1, image2, cfg: DenseFlowConfig = DenseFlowConfig()):
         p2.append(_downsample(p2[-1]))
 
     if cfg.init_search_radius > 0:
-        flow = _coarse_init(p1[-1], p2[-1], cfg.init_search_radius)
+        flow = _coarse_init(p1[-1], p2[-1], cfg.init_search_radius, cfg)
     else:
         flow = jnp.zeros(p1[-1].shape + (2,), i1.dtype)
     for lvl in range(max_levels - 1, -1, -1):
@@ -538,4 +583,9 @@ def flow_forward_backward(image1, image2,
     mag = (jnp.sum(fw * fw, axis=-1)
            + jnp.sum(bw_at_fw * bw_at_fw, axis=-1))
     occ = sq > cfg.occ_rel * mag + cfg.occ_abs
+    if cfg.occ_photo > 0.0:
+        n1 = _local_contrast_norm(_to_gray(jnp.asarray(image1)), 0.05)
+        n2 = _local_contrast_norm(_to_gray(jnp.asarray(image2)), 0.05)
+        n2w = _warp_cfg(n2, fw, cfg)
+        occ = occ | (jnp.abs(n2w - n1) > cfg.occ_photo)
     return FlowWithOcclusion(flow=fw, backward=bw, occlusion=occ)

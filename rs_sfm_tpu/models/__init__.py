@@ -9,8 +9,14 @@ evaluation harness:
 
   variational  pyramidal warping flow (DeepFlow-class; flow/dense.py)
   fast         low-iteration variational preset for previews/video
-  robust       census data term + structure-texture + occlusion-grade
-               settings for real imagery / stress scenes
+  robust       local-contrast-normalized data term (gain/offset-invariant)
+               for real imagery with exposure/vignetting changes — the
+               production robust preset (STRESS.md: passes the full-HD
+               photometric + mover stress gates; fused-SOR compatible)
+  census       ternary-census data term + structure-texture (experimental:
+               measured UNRELIABLE at full-HD — the fixed soft-sign scale
+               over-amplifies fine-scale noise; see STRESS.md — kept as
+               the research seam for census-family terms)
 """
 
 from __future__ import annotations
@@ -22,7 +28,8 @@ from rs_sfm_tpu.flow.dense import DenseFlowConfig
 FLOW_PRESETS: Dict[str, DenseFlowConfig] = {
     "variational": DenseFlowConfig(),
     "fast": DenseFlowConfig(levels=4, warps=2, iters=24),
-    "robust": DenseFlowConfig(census_weight=1.0, struct_texture=0.9),
+    "robust": DenseFlowConfig(lcn=0.05),
+    "census": DenseFlowConfig(census_weight=1.0, struct_texture=0.9),
 }
 
 
