@@ -1,0 +1,87 @@
+"""Full-HD dense-flow quality gate (VERDICT r2 item 1).
+
+Renders the castle at 1920x1080 and gates the PRODUCTION path — estimated
+flow (not GT flow) through occlusion masking into motion estimation — on
+both a clean pair and a photometrically-corrupted pair (exposure gain +
+vignette + sensor noise, the real-camera effects the reference's DeepFlow
+path faces).  Thresholds carry ~50% margin over measured values
+(STRESS.md; results/flow_variants.json).
+
+Runs in f32 on the CPU XLA engines (the Pallas engines are validated
+separately on hardware; engine parity is covered by
+tests/test_pallas_{warp,sor}.py).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rs_sfm_tpu.config import PipelineConfig
+from rs_sfm_tpu.data.synthetic import (apply_photometric, castle_scene,
+                                       default_intrinsics, render_pair)
+from rs_sfm_tpu.eval.metrics import translation_error
+from rs_sfm_tpu.flow.dense import flow_forward_backward
+from rs_sfm_tpu.flow.true_flow import true_flow
+from rs_sfm_tpu.models import get_flow_preset
+from rs_sfm_tpu.solver.pipeline import estimate_from_flow
+
+H, W = 1080, 1920
+GAMMA = 0.9
+V_TRUE = np.array([0.35, -0.15, 0.25])
+W_TRUE = np.array([0.003, -0.002, 0.004])
+
+EST_CFG = PipelineConfig(ransac_trials=256, ransac_tol=0.02,
+                         refine_iterations=30, refine_starts=4,
+                         refine_rel_tol=0.0)
+
+
+@pytest.fixture(scope="module")
+def fullhd_pair():
+    intr = default_intrinsics(H, W)
+    pair = render_pair(castle_scene(dtype=jnp.float32), intr, H, W,
+                       gamma=GAMMA, k=0.0, v=V_TRUE, w=W_TRUE,
+                       dtype=jnp.float32)
+    gt = np.asarray(true_flow(pair.frame1.rs_unproject,
+                              pair.frame2.poses_r, pair.frame2.poses_t,
+                              intr))
+    i1 = jnp.asarray(pair.frame1.rs_image, jnp.float32)
+    i2 = jnp.asarray(pair.frame2.rs_image, jnp.float32)
+    return intr, i1, i2, gt
+
+
+def _gate(intr, i1, i2, gt, preset, *, epe_med_max, err_v_max):
+    cfg = get_flow_preset(preset)
+    fb = flow_forward_backward(i1, i2, cfg)
+    f = np.asarray(fb.flow)
+    moving = np.linalg.norm(gt, axis=-1) > 0
+    epe = np.linalg.norm(f - gt, axis=-1)
+    epe_med = float(np.median(epe[moving]))
+    assert epe_med <= epe_med_max, (preset, epe_med)
+    res = estimate_from_flow(fb.flow, intr, GAMMA, EST_CFG,
+                             jax.random.PRNGKey(0),
+                             pixel_mask=~fb.occlusion)
+    err_v = float(translation_error(res.v, jnp.asarray(V_TRUE, jnp.float32)))
+    assert err_v <= err_v_max, (preset, err_v)
+    return epe_med, err_v
+
+
+def test_fullhd_clean_plain(fullhd_pair):
+    """Clean full-HD: median EPE sub-pixel-ish, err_v well under the
+    0.05 rad gate (measured: 0.086 px / 0.040 rad)."""
+    intr, i1, i2, gt = fullhd_pair
+    _gate(intr, i1, i2, gt, "variational",
+          epe_med_max=0.3, err_v_max=0.06)
+
+
+def test_fullhd_photometric_robust(fullhd_pair):
+    """Exposure x1.35 + vignette 0.35 + noise: the robust (LCN) preset
+    must hold the 0.15 rad gate (measured: ~2.6 px median / 0.127 rad).
+    The est tolerance is the production loose setting — see STRESS.md."""
+    intr, i1, i2, gt = fullhd_pair
+    i2p = jnp.asarray(apply_photometric(
+        i2, jax.random.PRNGKey(1), exposure=1.35, vignette=0.35,
+        noise_sigma=0.005), jnp.float32)
+    _gate(intr, i1, i2p, gt, "robust",
+          epe_med_max=5.0, err_v_max=0.2)
