@@ -13,12 +13,16 @@ Two complementary paths:
       and NO pixel-scale all-gathers — XLA keeps the pixel axis sharded
       through the reshape/RANSAC/refine chain.
 
-  estimate_sharded — explicit shard_map over scanline blocks for one pair:
-      pixel arrays arrive pre-sharded, RANSAC hypotheses are generated from
-      a globally shared stratified pixel pool (so 9-point samples span the
-      whole image, not one block), scoring reduces votes in one psum, and
-      the refinement's 7x7 Schur system aggregates with psum — the
-      "distributed Schur" component named in BASELINE.json.
+  estimate_sharded — explicit shard_map over scanline blocks for one pair.
+      Since round 3 this is a THIN wrapper over the single-device
+      solver.pipeline.estimate_from_flow (axis_name): hypotheses draw from
+      a globally shared stratified pixel pool (solver.ransac
+      shared_sample_pool — 9-point samples span the whole image, not one
+      block), scoring reduces votes in one psum per stage, and the
+      refinement/k-scan pixel reductions psum over the axis — the
+      "distributed Schur" component named in BASELINE.json.  Every
+      pipeline feature (multi-start, prescore, acceleration + k-scan)
+      runs sharded through the same code path.
 """
 
 from __future__ import annotations
