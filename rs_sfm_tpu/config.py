@@ -89,8 +89,13 @@ class PipelineConfig:
     # and start LM from the grid winner.  Kills the f32 k≈−1 mirror-basin
     # convergences (basins are compared by cost, not by which one LM falls
     # into).  0 = off (LM from the RANSAC k̂, the reference-like behavior).
+    # Range note: the k cost valley is nearly flat when w≈0 (per-pixel
+    # depth absorbs β(k) almost entirely), so the scan only covers the
+    # physically moderate range — starting it at the k≈−1 mirror basin's
+    # edge lets f32 noise pick the edge on weakly-observable problems
+    # (measured, tpu_validate).  Widen for extreme-deceleration scenes.
     k_scan_points: int = 17
-    k_scan_min: float = -1.2
+    k_scan_min: float = -0.5
     k_scan_max: float = 2.0
     k_scan_iters: int = 3
     # Sharded RANSAC sampling (estimate_sharded): stratified pixels each

@@ -98,11 +98,15 @@ def process_video_checkpointed(
 
     # Double-buffered pipeline: jax dispatch is asynchronous, so window
     # wi+1 is uploaded AND enqueued before window wi's result is fetched —
-    # the device computes wi+1 while the host blocks on wi's transfer and
-    # writes its checkpoint.  This is the sliding-window analog of the
-    # flow(t+1)/solve(t) stage overlap (SURVEY §2.4 PP): on the tunneled
-    # TPU the host-side fetch+save latency is fully hidden behind device
-    # work (measured in TPU_VALIDATION.md).
+    # the device computes wi+1 while the host fetches wi and writes its
+    # checkpoint.  This is the sliding-window analog of the
+    # flow(t+1)/solve(t) stage overlap (SURVEY §2.4 PP).  Measured
+    # (TPU_VALIDATION.md): orbax checkpoint WRITES dominate device compute
+    # at these problem sizes, so the overlap hides the DEVICE work behind
+    # the I/O (the device is never idle waiting on the host), and the save
+    # is asynchronous — the durability barrier (wait_until_finished) is
+    # taken once at the end, keeping at most one window un-durable during
+    # the run.
     def dispatch(wi):
         return run(jnp.asarray(window_host(wi)),
                    jax.random.fold_in(key, wi))
@@ -128,12 +132,12 @@ def process_video_checkpointed(
             res = VideoResult(*_to_host(out))
             res = VideoResult(*[v[: hi - lo] for v in res])
             mgr.save(wi, args=ocp.args.StandardSave(res._asdict()))
-            mgr.wait_until_finished()
         res = VideoResult(*[v[: hi - lo] for v in res])
         if on_window is not None:
             on_window(wi, res)
         chunks.append(res)
 
+    mgr.wait_until_finished()  # durability barrier for in-flight saves
     mgr.close()
     return VideoResult(*[np.concatenate([getattr(c, f) for c in chunks])
                          for f in VideoResult._fields])

@@ -107,7 +107,11 @@ def main():
     khats = {}
     cfg_once = PipelineConfig(ransac_trials=64, ransac_tol=0.01,
                               refine_iterations=50, refine_rel_tol=0.0,
-                              use_acceleration=True)
+                              use_acceleration=True,
+                              # production accel setting: the multi-start
+                              # rescoring is what rejects near-equal-cost
+                              # basins on weakly-observable k problems
+                              refine_starts=2)
     fn_once = jax.jit(lambda f, key: estimate_from_flow(
         f, intr, 0.8, cfg_once, key).k)
     for k_true in (0.0, 0.5, 1.0, 1.5):
@@ -132,8 +136,16 @@ def main():
     flow_s = jnp.asarray(np.stack([fx, fy], -1))
     wx = jax.jit(_warp)(img, flow_s)
     wp = jax.jit(lambda a, b: bilinear_warp(a, b, radius=16))(img, flow_s)
-    max_abs = float(jnp.max(jnp.abs(wx - wp)))
-    out["warp_exactness_smooth"] = dict(max_abs_diff=max_abs)
+    # Exactness contract = pixels whose target is in-view; out-of-view
+    # pixels clamp to a window-local edge (separately documented lossy
+    # case; the variational data term never trusts them anyway).
+    inview = ((xs + fx >= 0) & (xs + fx <= w - 1)
+              & (ys + fy >= 0) & (ys + fy <= h - 1))
+    diff = np.abs(np.asarray(wx - wp))
+    max_abs = float(diff[inview].max())
+    out["warp_exactness_smooth"] = dict(
+        max_abs_diff=max_abs, outview_frac=float(1 - inview.mean()),
+        outview_max=float(diff[~inview].max()) if (~inview).any() else 0.0)
     print(f"warp exactness (smooth in-budget flow): max|diff|={max_abs:.3e}",
           flush=True)
     # Discontinuous flow (castle-like parallax step): report the error
