@@ -162,6 +162,23 @@ def backproject(image, depth_map, poses_r, poses_t, intr: Intrinsics,
                                      src_depth.astype(jnp.float32), colors, n)
         gs_image = gs_flat.reshape(h, w_cols, 3)
         scattered = hit.reshape(h, w_cols)
+    elif method == "pallas":
+        # Scatter-free Pallas engine (ops/pallas/zbuffer.py): target-side
+        # shift-select search with exact f32 depth compares.  Sources
+        # deviating from their target block's inverse-displacement
+        # consensus by more than the radius are missed (cracks; handled by
+        # crackfill like every other engine's void pixels).
+        from rs_sfm_tpu.ops.pallas.zbuffer import zbuffer_splat
+
+        tx = jnp.where(write, pt[..., 0], jnp.inf)
+        ty = jnp.where(write, pt[..., 1], jnp.inf)
+        dz = jnp.where(write, cam0[..., 2], jnp.inf)
+        cols_f = (image.astype(jnp.float32) if
+                  jnp.issubdtype(image.dtype, jnp.integer) else image)
+        gs_f, scattered = zbuffer_splat(tx, ty, dz, cols_f)
+        gs_image = (jnp.round(gs_f).astype(image.dtype)
+                    if jnp.issubdtype(image.dtype, jnp.integer) else
+                    gs_f.astype(image.dtype))
     elif method == "scatter":
         # Pass 1: winning (minimum) target depth.
         zbuf = jnp.full((n + 1,), jnp.inf, dtype=dtype)

@@ -71,6 +71,11 @@ def main():
         "lcn": base._replace(lcn=0.05),
         "lcnnofine": base._replace(lcn=0.05, refine_fine_radius=0),
         "lcninit12": base._replace(lcn=0.05, init_search_radius=12),
+        # census rehabilitation probe: census on LCN-normalized images
+        # (unit-scale: sigma 0.5 sits at the intended soft-sign knee)
+        "census2": DenseFlowConfig(warp_engine="pallas", census_weight=1.0,
+                                   lcn=0.05, census_sigma=0.5,
+                                   brightness_weight=0.5),
     }
     names = (args.variants.split(",") if args.variants else list(variants))
     scenes = (args.scenes.split(",") if args.scenes else SCENES)
