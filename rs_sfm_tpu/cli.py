@@ -132,7 +132,8 @@ def cmd_single_run(args):
         ransac_trials=args.ransac_trials, ransac_tol=args.ransac_tol,
         use_acceleration=args.acceleration,
         use_global_shutter=args.global_shutter,
-        use_refinement=not args.no_refinement)
+        use_refinement=not args.no_refinement,
+        refine_starts=args.refine_starts)
     gamma = args.gamma if args.gamma is not None else (pair.gamma or 0.9)
 
     from rs_sfm_tpu.models import get_flow_preset
@@ -177,6 +178,13 @@ def cmd_single_run(args):
         out_dir, flow_px=np.asarray(flow_px), rs_image=pair.frame1.rs_image,
         depth_map=res.depth_map, gs_image=gs, coords_3d=rect.coords_3d,
         valid=rect.valid)
+    import json
+
+    with open(os.path.join(out_dir, "estimate.json"), "w") as f:
+        json.dump({"v": np.asarray(res.v).tolist(),
+                   "w": np.asarray(res.w).tolist(),
+                   "k": float(res.k), "gamma": float(gamma),
+                   "num_inliers": int(res.num_inliers)}, f, indent=1)
     print(f"artifacts written to {out_dir}")
 
     if pair.frame1.rs_unproject is not None:
@@ -360,6 +368,9 @@ def main(argv=None):
     def add_est_flags(p):
         p.add_argument("--ransac-trials", type=int, default=256)
         p.add_argument("--ransac-tol", type=float, default=0.05)
+        p.add_argument("--refine-starts", type=int, default=1,
+                       help="multi-start refinement (top-J RANSAC "
+                            "hypotheses; 4 recommended on estimated flow)")
         p.add_argument("--acceleration", action="store_true")
         p.add_argument("--global-shutter", action="store_true")
         p.add_argument("--no-refinement", action="store_true")

