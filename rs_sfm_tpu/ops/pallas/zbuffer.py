@@ -61,7 +61,8 @@ def _kernel(oy_ref, ox_ref, plane_refs, out_refs, scratch, *, bh, bw,
 
     wins = scratch[:n_planes]
     aligned = scratch[n_planes:2 * n_planes]
-    sems = scratch[2 * n_planes]
+    scratch_best = scratch[2 * n_planes:2 * n_planes + 4]
+    sems = scratch[2 * n_planes + 4]
     cps = []
     for p in range(n_planes):
         cp = pltpu.make_async_copy(
@@ -83,24 +84,48 @@ def _kernel(oy_ref, ox_ref, plane_refs, out_refs, scratch, *, bh, bw,
             pltpu.roll(wins[p][:], -(oy - oy_al), 0), -(ox - ox_al), 1)
 
     big = jnp.asarray(3.0e38, dtype)
-    best_d = jnp.full((bh, bw), big, dtype)
-    best_rgb = [jnp.zeros((bh, bw), dtype) for _ in range(3)]
-    for dy in range(dmax):
-        for dx in range(dmax):
-            tx = aligned[0][dy:dy + bh, dx:dx + bw]
-            ty = aligned[1][dy:dy + bh, dx:dx + bw]
-            d = aligned[2][dy:dy + bh, dx:dx + bw]
-            # Reference rounding: int(t + 0.5) (src/rsframe.cc:831).
-            hit = ((jnp.floor(tx + 0.5) == gx)
-                   & (jnp.floor(ty + 0.5) == gy)
-                   & (d < best_d))
-            best_d = jnp.where(hit, d, best_d)
-            for ch in range(3):
-                col = aligned[3 + ch][dy:dy + bh, dx:dx + bw]
-                best_rgb[ch] = jnp.where(hit, col, best_rgb[ch])
-    scattered = best_d < big
+    best_d = scratch_best[0]
+    best_d[:] = jnp.full((bh, bw), big, dtype)
     for ch in range(3):
-        out_refs[ch][:] = best_rgb[ch]
+        scratch_best[1 + ch][:] = jnp.zeros((bh, bw), dtype)
+
+    # Row-slot predication (same trick as ops/pallas/warp.py): a source at
+    # window row r_w targeting block-relative row t_rel is touched only at
+    # slot dy = r_w - t_rel, so whole dy sections with no such source are
+    # skipped — the loop cost tracks the ACTUAL displacement spread, not
+    # the radius budget.
+    rw = jax.lax.broadcasted_iota(jnp.int32, aligned[1].shape, 0)
+    ty_all = aligned[1][:]
+    t_rel = jnp.floor(ty_all + 0.5).astype(jnp.int32) - bi * bh
+    inblock = ((t_rel >= 0) & (t_rel < bh) & (ty_all > -1.0e5))
+    slot = rw - t_rel
+    slot_min = jnp.min(jnp.where(inblock, slot, dmax))
+    slot_max = jnp.max(jnp.where(inblock, slot, 0))
+
+    for dy in range(dmax):
+        @pl.when((dy >= slot_min) & (dy <= slot_max))
+        def _(dy=dy):
+            bd = best_d[:]
+            br = [scratch_best[1 + ch][:] for ch in range(3)]
+            for dx in range(dmax):
+                tx = aligned[0][dy:dy + bh, dx:dx + bw]
+                ty = aligned[1][dy:dy + bh, dx:dx + bw]
+                d = aligned[2][dy:dy + bh, dx:dx + bw]
+                # Reference rounding: int(t + 0.5) (src/rsframe.cc:831).
+                hit = ((jnp.floor(tx + 0.5) == gx)
+                       & (jnp.floor(ty + 0.5) == gy)
+                       & (d < bd))
+                bd = jnp.where(hit, d, bd)
+                for ch in range(3):
+                    col = aligned[3 + ch][dy:dy + bh, dx:dx + bw]
+                    br[ch] = jnp.where(hit, col, br[ch])
+            best_d[:] = bd
+            for ch in range(3):
+                scratch_best[1 + ch][:] = br[ch]
+
+    scattered = best_d[:] < big
+    for ch in range(3):
+        out_refs[ch][:] = scratch_best[1 + ch][:]
     out_refs[3][:] = jnp.where(scattered, 1.0, 0.0).astype(dtype)
 
 
@@ -199,6 +224,7 @@ def zbuffer_splat(target_x, target_y, depth, colors, *, radius: int = 12,
                                 memory_space=pltpu.VMEM)] * 4,
         scratch_shapes=(
             [pltpu.VMEM((wh, ww), dtype)] * (2 * n_planes)
+            + [pltpu.VMEM((bh, bw), dtype)] * 4
             + [pltpu.SemaphoreType.DMA((n_planes,))]),
     )
 

@@ -45,7 +45,7 @@ def main():
     intr = Intrinsics(fx=1803.3, fy=1799.4, cx=945.3, cy=544.7)
     flow = jnp.asarray(_make_flow(h, w))
     rng = np.random.default_rng(0)
-    img = jnp.asarray(rng.uniform(0.1, 0.9, (h, w)).astype(np.float32))
+    img = jnp.asarray(rng.uniform(0.1, 0.9, (h, w, 3)).astype(np.float32))
 
     jobs = []
     # Production flow presets (forward+backward+occlusion).

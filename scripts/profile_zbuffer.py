@@ -34,14 +34,16 @@ def main():
 
     h, w = 1080, 1920
     intr = default_intrinsics(h, w)
-    rng = np.random.default_rng(0)
-    img = jnp.asarray(rng.uniform(0.1, 0.9, (h, w, 3)).astype(np.float32))
-    # Depth + motion like the bench scene.
-    depth = jnp.asarray(
-        (4.0 + 2.0 * rng.standard_normal((h, w)).clip(-1, 1))
-        .astype(np.float32))
+    # Realistic scene: the cached full-HD castle render (true depth +
+    # image + the stress motion) — the depth smoothness the inverse
+    # consensus relies on is a property of real scenes, not noise.
+    cache = os.path.join(REPO, "results", "stress_cache",
+                         "stress_1080x1920_castle_clean_v2.npz")
+    with np.load(cache) as z:
+        img = jnp.asarray(z["i1"], jnp.float32)
+        depth = jnp.asarray(z["true_depth"], jnp.float32)
     r_sl, t_sl = scanline_poses(
-        jnp.asarray([0.12, -0.05, 0.08], jnp.float32),
+        jnp.asarray([0.35, -0.15, 0.25], jnp.float32),
         jnp.asarray([0.003, -0.002, 0.004], jnp.float32),
         jnp.float32(0.0), h, 0.9, dtype=jnp.float32)
 
