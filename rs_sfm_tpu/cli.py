@@ -242,7 +242,8 @@ def cmd_sweep(args):
         ransac_trials=args.ransac_trials, ransac_tol=args.ransac_tol,
         use_acceleration=args.acceleration,
         use_global_shutter=args.global_shutter,
-        use_refinement=not args.no_refinement)
+        use_refinement=not args.no_refinement,
+        refine_starts=args.refine_starts)
 
     with open(os.path.join(results_dir, "configuration"), "w") as f:
         f.write(f"ransac trials: {cfg.ransac_trials}\n"
@@ -251,6 +252,7 @@ def cmd_sweep(args):
                 f"use GS assumption: {int(cfg.use_global_shutter)}\n"
                 f"use const acceleration: {int(cfg.use_acceleration)}\n"
                 f"use refinement: {int(cfg.use_refinement)}\n"
+                f"refine starts: {cfg.refine_starts}\n"
                 + "-" * 46 + "\n" + "\n".join(tasks) + "\n")
 
     mode = "a" if args.resume else "w"

@@ -114,7 +114,14 @@ class DenseFlowConfig(NamedTuple):
     # Residual budget of the Pallas warp: full-HD RS flow fields carry
     # 30-45 px spreads across a 40x128 block at depth discontinuities
     # (measured, results/flow_variants.json: radius 6 cost ~0.7 px of
-    # median EPE on clean full-HD; 16 matches the exact XLA warp to 0.03).
+    # median EPE on clean full-HD; at 16 the RESULTING FLOW matches the
+    # exact-XLA-warp flow to 0.03 px median EPE).  Note this is a
+    # median-EPE equivalence of the flow output, not per-sample warp
+    # exactness: on smooth in-budget flow the warp itself is bit-exact
+    # in-view (TPU_VALIDATION §3), but boundary-clamp interactions next
+    # to out-of-view regions can differ (up to ~0.5 intensity on a
+    # handful of pixels; scripts/probe_warp.py) and are absorbed by the
+    # robust data term.
     warp_radius: int = 16
     # Forward-backward occlusion test (flow_forward_backward): pixel x is
     # flagged when |w_f(x) + w_b(x+w_f)|² > occ_rel·(|w_f|²+|w_b|²) +
@@ -131,11 +138,13 @@ class DenseFlowConfig(NamedTuple):
     # at the castle tower edges, results/flow_variants.json).
     occ_photo: float = 0.0
     # Resolution divisor for the BACKWARD flow in flow_forward_backward
-    # (1 = full resolution).  The backward field is only consumed by the
-    # forward-backward occlusion test — a morphological-scale signal — so
-    # computing it on 2x-downsampled frames (1/4 the cost, ~40% off the
-    # fb pair wall-clock at full-HD) leaves the mask quality essentially
-    # unchanged (measured: results/stress_fullhd.json occ stats).
+    # (1 = full resolution; must be a POWER OF TWO — it is realized as
+    # log2(scale) pyramid downsamples).  The backward field is only
+    # consumed by the forward-backward occlusion test — a
+    # morphological-scale signal — so computing it on 2x-downsampled
+    # frames (1/4 the cost, ~40% off the fb pair wall-clock at full-HD)
+    # leaves the mask quality essentially unchanged (measured:
+    # results/stress_fullhd.json occ stats).
     backward_scale: int = 1
 
 
@@ -581,6 +590,11 @@ def flow_forward_backward(image1, image2,
     """
     fw = dense_flow(image1, image2, cfg)
     if cfg.backward_scale > 1:
+        if cfg.backward_scale & (cfg.backward_scale - 1):
+            raise ValueError(
+                f"backward_scale must be a power of two (got "
+                f"{cfg.backward_scale}): it is realized as log2(scale) "
+                f"pyramid downsamples")
         g1 = _to_gray(jnp.asarray(image1))
         g2 = _to_gray(jnp.asarray(image2))
         for _ in range(cfg.backward_scale.bit_length() - 1):

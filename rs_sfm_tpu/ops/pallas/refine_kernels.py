@@ -99,15 +99,19 @@ _S_SUMS = 32
 _N_SUMS = 71
 
 
-def _pixel_terms(px_ref, rho, theta):
-    """Common per-pixel quantities (all (TILE,) f32)."""
+def _pixel_terms(px_ref, rho, theta, mask=None):
+    """Common per-pixel quantities (all (TILE,) f32).
+
+    mask: explicit per-start mask row (multi-start kernel); defaults to
+    px row 6 (single-start packing).
+    """
     x = px_ref[0, :]
     y = px_ref[1, :]
     ux = px_ref[2, :]
     uy = px_ref[3, :]
     alpha = px_ref[4, :]
     alpha_k = px_ref[5, :]
-    m = px_ref[6, :]
+    m = px_ref[6, :] if mask is None else mask
     v0, v1, v2, w0, w1, w2, k = theta
 
     beta = (alpha + k * alpha_k) * (2.0 / (2.0 + k))
@@ -196,71 +200,80 @@ def _iter_kernel(state_ref, px_ref, rho_prev_ref, rho_cand_ref,
     accept = state_ref[_S_ACCEPT] > 0.5
     active = state_ref[_S_ACTIVE]
 
-    # --- depth merge + variable projection at theta_cand ---
-    # ρ is re-ELIMINATED exactly at the candidate motion (the residual is
-    # linear in ρ, so the per-pixel optimum is one Newton step with the
-    # UNDAMPED curvature: ρ* = ρ − g_ρ/d), mirroring solver/refine.py's
-    # VarPro update — the GN ρ-update made the joint iteration crawl along
-    # the k/(v,w,ρ) valley (~40x more iterations to the same optimum).
-    rho_eff = jnp.where(accept, rho_cand_ref[0, :], rho_prev_ref[0, :])
-    x, y, m, beta, dbeta, ax, ay, ex, ey, rx, ry = _pixel_terms(
-        px_ref, rho_eff, theta_cand)
-    jrx = -beta * ax
-    jry = -beta * ay
-    d0 = (jrx * jrx + jry * jry) * m
-    informative = d0 > 0.0
-    d_safe0 = jnp.where(informative, d0, jnp.ones_like(d0))
-    g_rho = (jrx * rx + jry * ry) * m
-    delta_rho = jnp.where(informative, -g_rho / d_safe0, jnp.float32(0.0))
-    rho_new = rho_eff + delta_rho * m * active
+    # Depth merge + VarPro update + MXU/VPU reductions (shared helper; the
+    # Gram sums run on the MXU at Precision.HIGHEST — default precision
+    # truncates operands toward bf16 and the cancellation-prone Schur
+    # assembly `sums[tri] - sums[36+tri]*s` then stalls LM; hardware
+    # parity pinned in TPU_VALIDATION.md §1).
+    rho_eff, rho_new, g1, g2, accv = _reduce_start(
+        px_ref, px_ref[6, :], rho_prev_ref[0, :], rho_cand_ref[0, :],
+        theta_cand, k_keep, accept, active)
     rho_eff_ref[0, :] = rho_eff
     rho_new_ref[0, :] = rho_new
+    accj_ref[:, 0:16] += g1
+    accs_ref[:, 0:8] += g2
+    accv_ref[0, :] += accv[0, :]
 
-    # --- reduction at the new candidate (theta_cand, rho_new) ---
-    x, y, m, beta, dbeta, ax, ay, ex, ey, rx, ry = _pixel_terms(
-        px_ref, rho_new, theta_cand)
+    # --- decide + solve on the last tile (scalar core) ---
+    @pl.when(i == tiles - 1)
+    def _decide():
+        lane_row = jax.lax.broadcasted_iota(jnp.int32, (128,), 0)
+        writes = _decide_and_solve_start(
+            state_ref, accj_ref[:, 0:16], accs_ref[:, 0:8],
+            accv_ref[0, :], lane_row, k_keep, lam)
+        for slot, val in writes.items():
+            out_ref[slot] = val
+
+
+def _reduce_start(px_ref, m, rho_eff, rho_cand_row, theta_cand, k_keep,
+                  accept, active):
+    """Per-start tile work shared by the single- and multi-start kernels:
+    depth merge + VarPro update + Gram/gradient reductions at the new
+    candidate.  Returns (rho_eff, rho_new, g1 (16,16), g2 (8,8),
+    accv (1,128) lane-packed gradient/cost sums)."""
+    rho_eff = jnp.where(accept, rho_cand_row, rho_eff)
+    x, y, m_, beta, dbeta, ax, ay, ex, ey, rx, ry = _pixel_terms(
+        px_ref, rho_eff, theta_cand, mask=m)
+    jrx = -beta * ax
+    jry = -beta * ay
+    d0 = (jrx * jrx + jry * jry) * m_
+    informative = d0 > 0.0
+    d_safe0 = jnp.where(informative, d0, jnp.ones_like(d0))
+    g_rho = (jrx * rx + jry * ry) * m_
+    delta_rho = jnp.where(informative, -g_rho / d_safe0, jnp.float32(0.0))
+    # active = 0 on the bootstrap sweep: evaluate the INITIAL state (no
+    # VarPro step yet), matching _iter_kernel.
+    rho_new = rho_eff + delta_rho * m_ * active
+
+    x, y, m_, beta, dbeta, ax, ay, ex, ey, rx, ry = _pixel_terms(
+        px_ref, rho_new, theta_cand, mask=m)
     jx, jy = _jacobian_rows(x, y, rho_new, beta, dbeta, ex, ey, k_keep)
     jrx = -beta * ax
     jry = -beta * ay
-    d = (jrx * jrx + jry * jry) * m
+    d = (jrx * jrx + jry * jry) * m_
     informative = d > 0.0
-    inv_d = jnp.where(informative, 1.0 / jnp.where(informative, d, 1.0),
-                      0.0)
-    g_rho = (jrx * rx + jry * ry) * m
-    c = [(jx[t] * jrx + jy[t] * jry) * m for t in range(7)]
+    inv_d = jnp.where(informative,
+                      1.0 / jnp.where(informative, d, 1.0), 0.0)
+    g_rho = (jrx * rx + jry * ry) * m_
+    c = [(jx[t] * jrx + jy[t] * jry) * m_ for t in range(7)]
 
-    # Gram reductions on the MXU (see module docstring).  Masked rows: m is
-    # 0/1, so the m^2 inside each product equals the single m of the sums.
-    # Rows 7/15 carry the residual components, giving J^T r and cost in the
-    # same matmul — those entries are discarded in favor of the VPU path.
     m1 = jnp.concatenate(
-        [(jx[t] * m)[None, :] for t in range(7)] + [(rx * m)[None, :]]
-        + [(jy[t] * m)[None, :] for t in range(7)] + [(ry * m)[None, :]],
-        axis=0)  # (16, TILE)
+        [(jx[t] * m_)[None, :] for t in range(7)] + [(rx * m_)[None, :]]
+        + [(jy[t] * m_)[None, :] for t in range(7)] + [(ry * m_)[None, :]],
+        axis=0)
     m2a = jnp.concatenate(
         [(c[t] * inv_d)[None, :] for t in range(7)]
-        + [(g_rho * inv_d)[None, :]], axis=0)  # (8, TILE)
+        + [(g_rho * inv_d)[None, :]], axis=0)
     m2b = jnp.concatenate(
-        [c[t][None, :] for t in range(7)] + [g_rho[None, :]],
-        axis=0)  # (8, TILE)
-    # Precision.HIGHEST forces full-f32 MXU passes (default would allow
-    # bf16-truncated operands); the Gram sums feed the cancellation-prone
-    # Schur assembly (sums[tri] - sums[36+tri]*s at small lambda), so the
-    # truncation error would surface as LM stalls.  Hardware check:
-    # scripts/tpu_validate.py compares the converged LM cost of this kernel
-    # against the XLA (VPU) engine on the real chip (see its report in
-    # TPU_VALIDATION.md).
+        [c[t][None, :] for t in range(7)] + [g_rho[None, :]], axis=0)
     dn = (((1,), (1,)), ((), ()))
     g1 = jax.lax.dot_general(m1, m1, dn,
                              preferred_element_type=jnp.float32,
-                             precision=jax.lax.Precision.HIGHEST)  # (16, 16)
+                             precision=jax.lax.Precision.HIGHEST)
     g2 = jax.lax.dot_general(m2a, m2b, dn,
                              preferred_element_type=jnp.float32,
-                             precision=jax.lax.Precision.HIGHEST)  # (8, 8)
-    accj_ref[:, 0:16] += g1
-    accs_ref[:, 0:8] += g2
+                             precision=jax.lax.Precision.HIGHEST)
 
-    # Cancellation-sensitive gradient/cost sums on the VPU tree-sum path.
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     accv = jnp.zeros((1, 128), jnp.float32)
 
@@ -268,80 +281,186 @@ def _iter_kernel(state_ref, px_ref, rho_prev_ref, rho_cand_ref,
         return acc + jnp.where(lane == idx, val, jnp.float32(0.0))
 
     for t in range(7):
-        accv = put(accv, 28 + t, jnp.sum((jx[t] * rx + jy[t] * ry) * m))
-    accv = put(accv, 35, jnp.sum((rx * rx + ry * ry) * m))
+        accv = put(accv, 28 + t, jnp.sum((jx[t] * rx + jy[t] * ry) * m_))
+    accv = put(accv, 35, jnp.sum((rx * rx + ry * ry) * m_))
     for t in range(7):
         accv = put(accv, 64 + t, jnp.sum(c[t] * g_rho * inv_d))
-    accv_ref[0, :] += accv[0, :]
+    return rho_eff, rho_new, g1, g2, accv
 
-    # --- decide + solve on the last tile (scalar core) ---
+
+def _decide_and_solve_start(sget, accj, accs, acc_row, lane_row,
+                            k_keep, lam):
+    """Accept/reject + lambda schedule + damped Schur solve for ONE start.
+
+    sget: slot -> scalar read of this start's state vector (scalar SMEM
+    loads — whole-row SMEM vector loads are not a supported Mosaic
+    pattern).  Returns the 128-lane output state as {slot: value} writes.
+    """
+    jj = accj[0:8, 0:8] + accj[8:16, 8:16]
+    ss = accs[:, 0:8]
+    grad = [jnp.sum(jnp.where(lane_row == j, acc_row, 0.0))
+            for j in range(28, 36)] + [
+            jnp.sum(jnp.where(lane_row == j, acc_row, 0.0))
+            for j in range(64, 71)]
+    sums_cand = ([jj[r, s] for r, s in _TRIU]
+                 + grad[0:8]
+                 + [ss[r, s] for r, s in _TRIU]
+                 + grad[8:15])
+    cost_prev = sget(_S_COST)
+    rel_tol = sget(_S_RELTOL)
+    cost_cand = sums_cand[35]
+    acc_ok = (cost_cand < cost_prev) & (cost_cand == cost_cand)
+    prev_finite = jnp.abs(cost_prev) < jnp.float32(3.0e38)
+    conv = acc_ok & prev_finite & (
+        cost_prev - cost_cand <= rel_tol * cost_prev)
+    done = (sget(_S_DONE) > 0.5) | conv
+
+    sums = [jnp.where(acc_ok, sums_cand[j], sget(_S_SUMS + j))
+            for j in range(_N_SUMS)]
+    theta = [jnp.where(acc_ok, sget(_S_CAND + t),
+                       sget(_S_THETA + t)) for t in range(7)]
+    cost = jnp.where(acc_ok, cost_cand, cost_prev)
+    lam_new = jnp.where(acc_ok, jnp.maximum(lam / 3.0, 1e-12), lam * 4.0)
+
+    s = 1.0 / (1.0 + lam_new)
+    h = [[None] * 7 for _ in range(7)]
+    for r in range(7):
+        for cc in range(7):
+            tri = int(_TRI_IDX[r, cc])
+            h[r][cc] = sums[tri] - sums[36 + tri] * s
+        h[r][r] = h[r][r] + lam_new * (sums[int(_TRI_IDX[r, r])] + 1e-12)
+    h[6][6] = h[6][6] + (1.0 - k_keep)
+    b = [-(sums[28 + r] - sums[64 + r] * s) for r in range(7)]
+    new_delta = _solve_7x8_scalar(h, b)
+
+    writes = {}
+    for t in range(7):
+        writes[_S_THETA + t] = theta[t]
+        writes[_S_CAND + t] = theta[t] + new_delta[t]
+        writes[_S_DELTA + t] = new_delta[t]
+    writes[_S_LAM] = lam_new
+    writes[_S_COST] = cost
+    writes[_S_KKEEP] = k_keep
+    writes[_S_ACCEPT] = acc_ok.astype(jnp.float32)
+    writes[_S_DONE] = done.astype(jnp.float32)
+    writes[_S_RELTOL] = rel_tol
+    writes[_S_ACTIVE] = 1.0
+    writes[_S_COST0] = jnp.where(prev_finite, state_row[_S_COST0],
+                                 cost_cand)
+    for j in range(_S_COST0 + 1, _S_SUMS):
+        writes[j] = jnp.float32(0.0)
+    for j in range(_N_SUMS):
+        writes[_S_SUMS + j] = sums[j]
+    for j in range(_S_SUMS + _N_SUMS, 128):
+        writes[j] = jnp.float32(0.0)
+    return writes
+
+
+def _iter_kernel_multi(state_ref, px_ref, mask_ref, rho_prev_ref,
+                       rho_cand_ref, out_ref, rho_eff_ref, rho_new_ref,
+                       accj_ref, accs_ref, accv_ref, *, tiles: int,
+                       nstarts: int):
+    """One LM iteration for J independent starts sharing the pixel stream.
+
+    Multi-start refinement (solver/pipeline.py refine_starts > 1) runs J
+    LM problems that differ only in (theta, rho, mask) — the pixel record
+    (coords/flow/alpha) is identical.  Fusing the J starts into one kernel
+    reads the 6 shared pixel planes from HBM ONCE per iteration instead of
+    J times, and keeps one kernel dispatch per iteration regardless of J —
+    the measured VERDICT-r3 cost of sequential multi-start (~J x the
+    single-start wall clock) drops to the marginal VPU/MXU work.
+
+    state_ref: (J, 128) SMEM; px_ref: (8, TILE) VMEM (rows 0-5 used);
+    mask_ref/rho_*: (J, TILE) VMEM; accumulators sized J x the single-start
+    shapes, indexed by start slice.
+    """
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        accj_ref[:, :] = jnp.zeros((16 * nstarts, 128), jnp.float32)
+        accs_ref[:, :] = jnp.zeros((8 * nstarts, 128), jnp.float32)
+        accv_ref[:, :] = jnp.zeros((nstarts, 128), jnp.float32)
+
+    for s_i in range(nstarts):
+        theta_cand = tuple(state_ref[s_i, _S_CAND + t] for t in range(7))
+        k_keep = state_ref[s_i, _S_KKEEP]
+        accept = state_ref[s_i, _S_ACCEPT] > 0.5
+        active = state_ref[s_i, _S_ACTIVE]
+        m = mask_ref[s_i, :]
+        rho_eff0 = rho_prev_ref[s_i, :]
+        rho_eff, rho_new, g1, g2, accv = _reduce_start(
+            px_ref, m, rho_eff0, rho_cand_ref[s_i, :], theta_cand, k_keep,
+            accept, active)
+        rho_eff_ref[s_i, :] = rho_eff
+        rho_new_ref[s_i, :] = rho_new
+        accj_ref[16 * s_i:16 * (s_i + 1), 0:16] += g1
+        accs_ref[8 * s_i:8 * (s_i + 1), 0:8] += g2
+        accv_ref[s_i, :] += accv[0, :]
+
     @pl.when(i == tiles - 1)
-    def _decide_and_solve():
-        accj = accj_ref[:, 0:16]
-        jj = accj[0:8, 0:8] + accj[8:16, 8:16]  # x + y residual components
-        ss = accs_ref[:, 0:8]
-        acc_row = accv_ref[0, :]
-        grad = [jnp.sum(jnp.where(lane[0, :] == j, acc_row, 0.0))
-                for j in range(28, 36)] + [
-                jnp.sum(jnp.where(lane[0, :] == j, acc_row, 0.0))
-                for j in range(64, 71)]
-        # Unpack into the state-vector sum layout: [0:28) triu J^T J,
-        # [28:35) J^T r, [35] cost, [36:64) triu c c^T/d, [64:71) c g_rho/d.
-        sums_cand = ([jj[r, s] for r, s in _TRIU]
-                     + grad[0:8]
-                     + [ss[r, s] for r, s in _TRIU]
-                     + grad[8:15])
-        cost_prev = state_ref[_S_COST]
-        rel_tol = state_ref[_S_RELTOL]
-        cost_cand = sums_cand[35]
-        acc_ok = (cost_cand < cost_prev) & (cost_cand == cost_cand)
-        prev_finite = jnp.abs(cost_prev) < jnp.float32(3.0e38)
-        conv = acc_ok & prev_finite & (
-            cost_prev - cost_cand <= rel_tol * cost_prev)
-        done = (state_ref[_S_DONE] > 0.5) | conv
+    def _decide_all():
+        lane_row = jax.lax.broadcasted_iota(jnp.int32, (128,), 0)
+        for s_i in range(nstarts):
+            state_row = state_ref[s_i]
+            writes = _decide_and_solve_start(
+                state_row,
+                accj_ref[16 * s_i:16 * (s_i + 1), 0:16],
+                accs_ref[8 * s_i:8 * (s_i + 1), 0:8],
+                accv_ref[s_i, :], lane_row,
+                state_row[_S_KKEEP], state_row[_S_LAM])
+            for slot, val in writes.items():
+                out_ref[s_i, slot] = val
 
-        sums = [jnp.where(acc_ok, sums_cand[j], state_ref[_S_SUMS + j])
-                for j in range(_N_SUMS)]
-        theta = [jnp.where(acc_ok, state_ref[_S_CAND + t],
-                           state_ref[_S_THETA + t]) for t in range(7)]
-        cost = jnp.where(acc_ok, cost_cand, cost_prev)
-        lam_new = jnp.where(acc_ok, jnp.maximum(lam / 3.0, 1e-12),
-                            lam * 4.0)
 
-        # Schur-reduced damped system from the lambda-independent sums:
-        #   H = Jt^T Jt + lam diag(..) + e66 (1-k_keep) - S_h / (1+lam)
-        #   g = Jt^T r - S_g / (1+lam)
-        s = 1.0 / (1.0 + lam_new)
-        h = [[None] * 7 for _ in range(7)]
-        for r in range(7):
-            for cc in range(7):
-                tri = int(_TRI_IDX[r, cc])
-                h[r][cc] = sums[tri] - sums[36 + tri] * s
-            h[r][r] = h[r][r] + lam_new * (sums[int(_TRI_IDX[r, r])]
-                                           + 1e-12)
-        h[6][6] = h[6][6] + (1.0 - k_keep)
-        b = [-(sums[28 + r] - sums[64 + r] * s) for r in range(7)]
-        new_delta = _solve_7x8_scalar(h, b)
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def lm_iter_multi(state, px, masks, rho_prev, rho_cand,
+                  interpret: bool = False):
+    """One fused LM iteration for J starts (see _iter_kernel_multi).
 
-        for t in range(7):
-            out_ref[_S_THETA + t] = theta[t]
-            out_ref[_S_CAND + t] = theta[t] + new_delta[t]
-            out_ref[_S_DELTA + t] = new_delta[t]
-        out_ref[_S_LAM] = lam_new
-        out_ref[_S_COST] = cost
-        out_ref[_S_KKEEP] = k_keep
-        out_ref[_S_ACCEPT] = acc_ok.astype(jnp.float32)
-        out_ref[_S_DONE] = done.astype(jnp.float32)
-        out_ref[_S_RELTOL] = rel_tol
-        out_ref[_S_ACTIVE] = 1.0
-        out_ref[_S_COST0] = jnp.where(prev_finite, state_ref[_S_COST0],
-                                      cost_cand)
-        for j in range(_S_COST0 + 1, _S_SUMS):
-            out_ref[j] = 0.0
-        for j in range(_N_SUMS):
-            out_ref[_S_SUMS + j] = sums[j]
-        for j in range(_S_SUMS + _N_SUMS, 128):
-            out_ref[j] = 0.0
+    Args:
+      state: (J, 128) f32 LM states.
+      px: (8, N) f32 shared pixel fields (rows 0-5; row 6 mask unused
+        here), N a multiple of TILE.
+      masks: (J, N) f32 per-start masks.
+      rho_prev, rho_cand: (J, N) f32 inverse-depth fields.
+
+    Returns:
+      (new_state (J, 128), rho_eff (J, N), rho_new (J, N)).
+    """
+    j, n = rho_prev.shape
+    tiles = n // TILE
+    return pl.pallas_call(
+        functools.partial(_iter_kernel_multi, tiles=tiles, nstarts=j),
+        grid=(tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((j, TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((j, TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((j, TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((j, TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((j, TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((j, 128), jnp.float32),
+            jax.ShapeDtypeStruct((j, n), jnp.float32),
+            jax.ShapeDtypeStruct((j, n), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((16 * j, 128), jnp.float32),
+                        pltpu.VMEM((8 * j, 128), jnp.float32),
+                        pltpu.VMEM((j, 128), jnp.float32)],
+        interpret=interpret,
+    )(state, px, masks, rho_prev, rho_cand)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -359,7 +359,13 @@ def ransac(
                 cv = vn[ci]
                 filled = jnp.arange(top_j) < cnt
                 clash = jnp.any(filled & (jnp.abs(selv @ cv) > cos_thr))
-                take = (~clash) & (cnt < top_j)
+                # Only real hypotheses may fill slots: invalid root slots
+                # carry v = 0, whose direction never "clashes" — without
+                # this gate they would occupy starts when fewer than top_j
+                # diverse valid hypotheses exist in the scan window
+                # (degenerate zero-motion LM inits instead of the
+                # documented repeat-the-best behavior).
+                take = (~clash) & (cnt < top_j) & valid_h[ci]
                 pos = jnp.minimum(cnt, top_j - 1)
                 sel = sel.at[pos].set(jnp.where(take, ci, sel[pos]))
                 selv = selv.at[pos].set(jnp.where(take, cv, selv[pos]))

@@ -45,7 +45,10 @@ def main():
             if os.path.exists(out):
                 continue
             p = os.path.join(REPO, "results", "stress_cache",
-                             f"stress_{H}x{W}_{s}.npz")
+                             f"stress_{H}x{W}_{s}_v2.npz")
+            if not os.path.exists(p):
+                p = os.path.join(REPO, "results", "stress_cache",
+                                 f"stress_{H}x{W}_{s}.npz")
             with np.load(p) as z:
                 i1, i2 = jnp.asarray(z["i1"]), jnp.asarray(z["i2"])
             r = fb(i1, i2)

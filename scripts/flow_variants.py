@@ -87,7 +87,12 @@ def main():
 
     data = {}
     for s in scenes:
-        p = os.path.join(args.cache, f"stress_{H}x{W}_{s}.npz")
+        # stress_fullhd.py --phase render writes the *_v2.npz cache files
+        # (extra GT-pose/depth keys are ignored here); fall back to the
+        # legacy name for pre-v2 caches.
+        p = os.path.join(args.cache, f"stress_{H}x{W}_{s}_v2.npz")
+        if not os.path.exists(p):
+            p = os.path.join(args.cache, f"stress_{H}x{W}_{s}.npz")
         with np.load(p) as z:
             data[s] = {k: z[k] for k in z.files}
 
