@@ -136,11 +136,19 @@ def cmd_single_run(args):
         refine_starts=args.refine_starts)
     gamma = args.gamma if args.gamma is not None else (pair.gamma or 0.9)
 
-    from rs_sfm_tpu.models import get_flow_preset
+    from rs_sfm_tpu.models import resolve_flow_preset
 
-    flow_cfg = get_flow_preset(args.flow_model,
-                               warp_engine=args.warp_engine,
-                               sor_engine=args.sor_engine)
+    def unit_img(img):
+        arr = jnp.asarray(img, dtype=jnp.float32)
+        return arr / 255.0 if np.asarray(img).dtype == np.uint8 else arr
+
+    flow_cfg, resolved = resolve_flow_preset(
+        args.flow_model,
+        unit_img(pair.frame1.rs_image) if args.flow_model == "auto" else None,
+        unit_img(pair.frame2.rs_image) if args.flow_model == "auto" else None,
+        warp_engine=args.warp_engine, sor_engine=args.sor_engine)
+    if args.flow_model == "auto":
+        print(f"flow model auto -> {resolved}")
     if args.census_weight is not None:
         flow_cfg = flow_cfg._replace(census_weight=args.census_weight)
     pixel_mask = None
@@ -270,11 +278,27 @@ def cmd_sweep(args):
         print(f"\nExecuting task {task}...")
         pair = load_synthetic_pair(os.path.join(path, task))
         image_path = os.path.join(results_dir, "depthMaps", str(i))
-        from rs_sfm_tpu.models import get_flow_preset
+        from rs_sfm_tpu.models import resolve_flow_preset
 
-        flow_cfg = get_flow_preset(args.flow_model,
-                                   warp_engine=args.warp_engine,
-                                   sor_engine=args.sor_engine)
+        import numpy as _np
+
+        def _unit(img):
+            import jax.numpy as jnp
+
+            arr = jnp.asarray(img, dtype=jnp.float32)
+            return arr / 255.0 if _np.asarray(img).dtype == _np.uint8 \
+                else arr
+
+        flow_cfg, resolved = resolve_flow_preset(
+            args.flow_model,
+            _unit(pair.frame1.rs_image) if args.flow_model == "auto"
+            else None,
+            _unit(pair.frame2.rs_image) if args.flow_model == "auto"
+            else None,
+            warp_engine=args.warp_engine,
+            sor_engine=args.sor_engine)
+        if args.flow_model == "auto":
+            print(f"  flow model auto -> {resolved}")
         if args.census_weight is not None:
             flow_cfg = flow_cfg._replace(census_weight=args.census_weight)
         errs = evaluate_velocities(
@@ -379,7 +403,9 @@ def main(argv=None):
         p.add_argument("--deep-flow", action="store_true")
         p.add_argument("--flow-model", default="variational",
                        help="dense-flow preset from rs_sfm_tpu.models "
-                            "(variational / fast / robust)")
+                            "(variational / fast / robust / census / "
+                            "auto — auto probes the pair at coarse scale "
+                            "and picks plain vs robust per pair)")
         p.add_argument("--warp-engine", choices=("xla", "pallas"),
                        default="xla",
                        help="dense-flow warp kernel (pallas = blocked TPU "

@@ -49,6 +49,7 @@ def mean_reprojection_error(
     scale_outlier: float = 10.0,
     dist_cap: float = 50.0,
     relocate_skip_first_row: bool = False,
+    scale_mode: str = "ratio-mean",
 ):
     """Scale-aligned mean 3D error (reference Camera::meanReprojectionError).
 
@@ -67,6 +68,18 @@ def mean_reprojection_error(
         (src/camera.cc:680).
       relocate_skip_first_row: reproduce the reference's relocatePose quirk
         (scanline 0 keeps its absolute pose, src/rsframe.cc:960).
+      scale_mode: how the global gauge scale est/true is estimated.
+        "ratio-mean" — the reference's estimator: the mean of per-axis
+          coordinate ratios with |ratio| > scale_outlier rejected
+          (src/camera.cc:629-662).  On noisy per-pixel depths the ratio
+          distribution is heavy-tailed (Z = 1/ρ with symmetric ρ noise)
+          and the mean is biased — measured to dominate the production
+          path's 3D error (scripts/err3d_decompose.py, STRESS.md r4).
+        "ls" — the least-squares gauge: s* = Σ⟨e, t⟩ / Σ⟨e, e⟩ over the
+          same accepted entries, minimizing Σ‖e/s − t‖² ≈ robustly since
+          inner products average out the heavy tail.  Deliberate
+          divergence (flag-gated; the reference-exact estimator remains
+          the default for parity runs).
 
     Returns:
       (mean_error, scale, true_coords_3d (H, W, 3)).
@@ -86,7 +99,14 @@ def mean_reprojection_error(
           & (jnp.abs(ratios) <= scale_outlier)
           & est_valid[..., None])
     denom = jnp.maximum(jnp.sum(ok), 1)
-    scale = jnp.sum(jnp.where(ok, ratios, 0.0)) / denom
+    if scale_mode == "ls":
+        num = jnp.sum(jnp.where(ok, est_coords_3d * true_3d, 0.0))
+        den = jnp.sum(jnp.where(ok, true_3d * true_3d, 0.0))
+        scale = num / jnp.where(den == 0.0, jnp.ones_like(den), den)
+    elif scale_mode == "ratio-mean":
+        scale = jnp.sum(jnp.where(ok, ratios, 0.0)) / denom
+    else:
+        raise ValueError(f"unknown scale_mode {scale_mode!r}")
 
     safe_scale = jnp.where(scale == 0.0, jnp.ones_like(scale), scale)
     dist = jnp.linalg.norm(est_coords_3d / safe_scale - true_3d, axis=-1)
@@ -95,3 +115,38 @@ def mean_reprojection_error(
     n_used = jnp.maximum(jnp.sum(use), 1)
     mean_err = jnp.sum(jnp.where(use, dist, 0.0)) / n_used
     return mean_err, scale, true_3d
+
+
+def depth_rmse(depth_est, true_depth, mask, *, scale_mode: str = "ls"):
+    """Scale-aligned depth RMSE — the BASELINE north-star depth metric.
+
+    The estimated depth carries the global (v, Z) gauge scale; it is
+    aligned to the ground truth before comparison:
+      "ls":     s* = Σ m·Z_est·Z_true / Σ m·Z_est²  (LS gauge)
+      "median": s* = median(Z_true / Z_est) over the mask (robust)
+
+    Args:
+      depth_est: (H, W) estimated depth (0 = no estimate).
+      true_depth: (H, W) GT depth.
+      mask: (H, W) bool — pixels to score (typically the inlier mask).
+
+    Returns:
+      (rmse, scale) — RMSE of (s·Z_est − Z_true) over the mask.
+    """
+    m = (mask & (depth_est != 0.0) & jnp.isfinite(depth_est)
+         & jnp.isfinite(true_depth) & (true_depth > 0.0))
+    if scale_mode == "ls":
+        num = jnp.sum(jnp.where(m, depth_est * true_depth, 0.0))
+        den = jnp.sum(jnp.where(m, depth_est * depth_est, 0.0))
+        s = num / jnp.where(den == 0.0, jnp.ones_like(den), den)
+    elif scale_mode == "median":
+        r = jnp.where(m, true_depth / jnp.where(depth_est == 0.0,
+                                                jnp.ones_like(depth_est),
+                                                depth_est), jnp.nan)
+        s = jnp.nanmedian(r)
+    else:
+        raise ValueError(f"unknown scale_mode {scale_mode!r}")
+    d = s * depth_est - true_depth
+    n = jnp.maximum(jnp.sum(m), 1)
+    rmse = jnp.sqrt(jnp.sum(jnp.where(m, d * d, 0.0)) / n)
+    return rmse, s

@@ -1,0 +1,185 @@
+"""Model-feedback occlusion masking and flow correction (VERDICT r4 #7).
+
+The dominant residual flow failure at full-HD is the occlusion SMEAR band:
+background pixels next to a moving foreground edge inherit the
+foreground's flow, and because both the backward flow and the warped
+texture are consistently wrong there (repetitive texture), every local
+detector — forward-backward round trip, photoconsistency — agrees on the
+wrong answer (STRESS.md, measured; this is the reference's example-4
+failure family, /root/reference/examples/README.md:14).  What does catch
+these pixels is the rigid RS model itself: they score as RANSAC outliers.
+
+This module feeds that model consensus back into the flow product:
+
+  * `occlusion` is EXTENDED by the model-outlier set (valid pixels whose
+    flow the estimated rigid model rejects at the RANSAC tolerance) — the
+    trusted-pixel mask downstream consumers get now reflects the one
+    detector that works in the smear bands;
+  * the flow at those pixels is REPLACED by the rigid-model prediction
+    computed from a push-pull-inpainted inverse-depth field (per-pixel
+    depths diffused outward from the inlier anchors at successively
+    coarser scales).  In a smear band the nearest anchors are the
+    surrounding background inliers, so the inpainted depth — and with it
+    the predicted flow — recovers the background motion the local data
+    term could not see.
+
+The corrected flow serves rectification-adjacent consumers and the flow
+metrics; the estimation path keeps scoring only non-extended pixels (the
+substituted flow is model-derived and would be circular as estimation
+evidence).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from rs_sfm_tpu.config import PipelineConfig
+from rs_sfm_tpu.flow.dense import _downsample, _gauss_blur
+from rs_sfm_tpu.geom.camera import Intrinsics
+from rs_sfm_tpu.solver.beta import get_alpha, get_alpha_k
+from rs_sfm_tpu.solver.flow_model import predict_flow
+from rs_sfm_tpu.solver.pipeline import EstimationResult, prepare_flow_inputs
+
+
+class FeedbackResult(NamedTuple):
+    flow: jax.Array        # (H, W, 2) corrected pixel flow
+    occlusion: jax.Array   # (H, W) bool — extended untrusted-pixel mask
+    model_flow: jax.Array  # (H, W, 2) rigid-model flow (inpainted depth)
+    outlier: jax.Array     # (H, W) bool — model-outlier extension alone
+    depth_outlier: jax.Array  # (H, W) bool — depth-coherence extension
+    trusted_depth: jax.Array  # (H, W) bool — inliers surviving both tests
+
+
+def _coarse_smooth(values, weights, down: int = 3, blurs: int = 3):
+    """Normalized convolution at a coarse scale (aperture ~ 2^down * 2 *
+    blurs px): the reference neighborhood for the depth-coherence test —
+    it must be WIDER than a smear band so the band cannot dominate its
+    own comparison value (the finest-scale push-pull fill does exactly
+    that and is blind to coherent bands — measured)."""
+    num = values * weights
+    den = weights
+    for _ in range(down):
+        num = _downsample(_gauss_blur(num))
+        den = _downsample(_gauss_blur(den))
+    for _ in range(blurs):
+        num = _gauss_blur(num)
+        den = _gauss_blur(den)
+    sm = num / jnp.maximum(den, 1e-9)
+    return jax.image.resize(sm, values.shape, method="bilinear")
+
+
+def _push_pull_fill(values, weights, levels: int = 6):
+    """Normalized-convolution push-pull inpainting.
+
+    Fills weight-0 pixels with the nearest-scale weighted average of the
+    anchored values: downsample (value*w, w) `levels` times, then walk
+    back up replacing empty pixels by the coarser fill — every pixel ends
+    at the finest scale that had support.  O(N) total work.
+    """
+    num = values * weights
+    den = weights
+    stack = []
+    for _ in range(levels):
+        num = _gauss_blur(num)
+        den = _gauss_blur(den)
+        stack.append((num, den))
+        num = num[::2, ::2]
+        den = den[::2, ::2]
+    fill = num / jnp.maximum(den, 1e-12)
+    for num_l, den_l in reversed(stack):
+        up = jax.image.resize(fill, num_l.shape, method="bilinear")
+        fill = jnp.where(den_l > 1e-6, num_l / jnp.maximum(den_l, 1e-12),
+                         up)
+    return fill
+
+
+def model_feedback(flow_px, occlusion, res: EstimationResult,
+                   intr: Intrinsics, gamma, cfg: PipelineConfig,
+                   *, fill_levels: int = 6, depth_tau: float = 0.5,
+                   depth_rounds: int = 2) -> FeedbackResult:
+    """Extend the occlusion mask by model outliers and correct their flow.
+
+    Two outlier families are fed back:
+      * RANSAC outliers — flow the rigid model rejects outright;
+      * depth-coherence outliers — the insidious case: smear flow that is
+        nearly EPIPOLAR-CONSISTENT stays an inlier (the per-pixel free
+        depth absorbs any error along the A·v direction) but lands at the
+        foreground's depth inside a background band.  These are peeled by
+        the signed near-side test against a coarse-scale neighborhood
+        (see _coarse_smooth) for depth_rounds rounds — the first round
+        removes the band core, the trimmed re-smooth then exposes its
+        rim.
+
+    Args:
+      flow_px: (H, W, 2) first-pass dense flow (pixels).
+      occlusion: (H, W) bool first-pass FB/photoconsistency mask.
+      res: EstimationResult of the first-pass estimation on this flow.
+      intr, gamma, cfg: the estimation context (tolerance, GS mode...).
+      depth_tau: relative near-side ρ inflation flagged as incoherent
+        (signed: only nearer-than-neighborhood bands trigger; the far
+        side of genuine depth edges never does).
+      depth_rounds: peel iterations (0 disables the depth test).
+
+    Returns:
+      FeedbackResult.
+    """
+    h, w_cols = flow_px.shape[:2]
+    dtype = flow_px.dtype
+
+    depth = res.depth_map
+    inl = res.inlier_mask & (depth != 0.0)
+    rho_pix = jnp.where(inl, 1.0 / jnp.where(depth == 0.0,
+                                             jnp.ones_like(depth), depth),
+                        0.0)
+
+    # Depth-coherence peeling over the inlier set.  SIGNED near-side
+    # test: smear inherits the FOREGROUND's depth, so its ρ is inflated
+    # relative to the coarse neighborhood — a thin "nearer" band not
+    # attached to a larger near structure is physically implausible,
+    # while the far side of genuine depth edges never triggers.
+    trust = inl
+    depth_out = jnp.zeros_like(inl)
+    for _ in range(depth_rounds):
+        rho_sm = _coarse_smooth(rho_pix, trust.astype(dtype))
+        bad = trust & (rho_pix > rho_sm * (1.0 + depth_tau))
+        depth_out = depth_out | bad
+        trust = trust & ~bad
+
+    # Inpainted inverse depth from the SURVIVING anchors.
+    rho_fill = _push_pull_fill(rho_pix, trust.astype(dtype),
+                               levels=fill_levels)
+
+    # Rigid-model flow at every pixel.  α/α̃ depend on the pixel flow's y
+    # component, which for the smear pixels is exactly what is wrong — so
+    # iterate the α fixed point starting from the observed flow and
+    # re-evaluating at the model prediction (converges in 2 passes; the
+    # correction is O(γ·Δflow_y/h)).
+    coords, _, alpha, alpha_k, _ = prepare_flow_inputs(flow_px, intr, gamma,
+                                                       cfg)
+    rho_flat = rho_fill.reshape(-1)
+    fscale = jnp.asarray([intr.fx, intr.fy], dtype)
+    grid_y = jnp.tile(jnp.arange(h, dtype=dtype)[:, None],
+                      (1, w_cols)).reshape(-1)
+    model_n = predict_flow(coords, rho_flat, res.v, res.w, res.k,
+                           alpha, alpha_k)
+    for _ in range(1):
+        fy_px = model_n[:, 1] * intr.fy
+        alpha2 = get_alpha(fy_px, h, gamma)
+        alpha2 = jnp.where(jnp.asarray(cfg.use_global_shutter),
+                           jnp.ones_like(alpha2), alpha2)
+        alpha_k2 = get_alpha_k(grid_y, fy_px, h, gamma)
+        model_n = predict_flow(coords, rho_flat, res.v, res.w, res.k,
+                               alpha2, alpha_k2)
+    model_px = (model_n * fscale).reshape(h, w_cols, 2)
+
+    # Model-outlier extension: valid pixels the rigid model rejects.
+    outlier = (res.valid_mask & ~res.inlier_mask).reshape(h, w_cols)
+    occ_ext = occlusion | outlier | depth_out
+
+    flow_out = jnp.where(occ_ext[..., None], model_px, flow_px)
+    return FeedbackResult(flow=flow_out, occlusion=occ_ext,
+                          model_flow=model_px, outlier=outlier,
+                          depth_outlier=depth_out, trusted_depth=trust)

@@ -17,6 +17,10 @@ evaluation harness:
                measured UNRELIABLE at full-HD — the fixed soft-sign scale
                over-amplifies fine-scale noise; see STRESS.md — kept as
                the research seam for census-family terms)
+  auto         per-pair selection between variational and robust via a
+               cheap coarse-scale probe (flow/auto.py) — the
+               one-configuration UX of the reference; resolve with
+               resolve_flow_preset(name, image1, image2)
 """
 
 from __future__ import annotations
@@ -35,11 +39,33 @@ FLOW_PRESETS: Dict[str, DenseFlowConfig] = {
 
 def get_flow_preset(name: str, **overrides) -> DenseFlowConfig:
     """Look up a flow preset by name, optionally overriding fields
-    (e.g. ``get_flow_preset("robust", warp_engine="pallas")``)."""
+    (e.g. ``get_flow_preset("robust", warp_engine="pallas")``).
+
+    "auto" requires the frame pair — use resolve_flow_preset."""
     try:
         preset = FLOW_PRESETS[name]
     except KeyError:
         raise KeyError(
-            f"unknown flow model {name!r}; known: {sorted(FLOW_PRESETS)}"
+            f"unknown flow model {name!r}; known: "
+            f"{sorted(FLOW_PRESETS) + ['auto']}"
         ) from None
     return preset._replace(**overrides) if overrides else preset
+
+
+def resolve_flow_preset(name: str, image1=None, image2=None, **overrides):
+    """Resolve a preset name — including "auto" — to a DenseFlowConfig.
+
+    "auto" runs the coarse-scale probe (flow/auto.py) on the pair and
+    picks plain vs robust, restoring the reference's one-configuration UX
+    (src/main.cc:304-311) without per-scene flags.
+
+    Returns:
+      (config, resolved_name).
+    """
+    if name == "auto":
+        if image1 is None or image2 is None:
+            raise ValueError("flow preset 'auto' needs the frame pair")
+        from rs_sfm_tpu.flow.auto import probe_flow_preset
+
+        name = probe_flow_preset(image1, image2)
+    return get_flow_preset(name, **overrides), name

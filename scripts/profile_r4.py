@@ -277,6 +277,73 @@ def main():
 
     timeit("hist_1080bins", lambda: hist_rows(rows_of_target))
 
+    # ---- round-4 optimization validation (post-change timings) ---------
+    # Chained x4 inside one jit to amortize the ~25 ms tunnel round trip
+    # (the family above established that floor; these numbers are
+    # per-call with the dispatch amortized).
+    def chain4(fn):
+        @jax.jit
+        def run():
+            def body(i, acc):
+                return acc + fn(i)
+            return jax.lax.fori_loop(0, 4, body, jnp.float32(0.0))
+
+        def timed():
+            return run()
+        return timed
+
+    def t4(tag, fn):
+        if tag in out:
+            print(f"{tag:44s} {out[tag]:8.1f} ms (cached)", flush=True)
+            return
+        f = chain4(fn)
+        t0 = time.perf_counter()
+        float(f())
+        compile_s = time.perf_counter() - t0
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(f())
+            ts.append(time.perf_counter() - t0)
+        ms = min(ts) / 4 * 1e3
+        out[tag] = round(ms, 2)
+        out[tag + "_compile_s"] = round(compile_s, 1)
+        save()
+        print(f"{tag:44s} {ms:8.1f} ms   (compile {compile_s:.0f}s)",
+              flush=True)
+
+    t4("r4_backproject_packed24", lambda i: backproject(
+        img, depth + 0.0 * i, r_sl, t_sl, intr,
+        method="packed24").gs_image.sum())
+    t4("r4_backproject_packed", lambda i: backproject(
+        img, depth + 0.0 * i, r_sl, t_sl, intr,
+        method="packed").gs_image.sum())
+
+    g1f = i1 if i1.ndim == 2 else (0.299 * i1[..., 0] + 0.587 * i1[..., 1]
+                                   + 0.114 * i1[..., 2])
+    g2f = i2 if i2.ndim == 2 else (0.299 * i2[..., 0] + 0.587 * i2[..., 1]
+                                   + 0.114 * i2[..., 2])
+    t4("r4_fwd_prod_sorall", lambda i: dense_flow(
+        g1f + 0.0 * i, g2f, prod).sum())
+    t4("r4_fb_prod_bs2_sorall", lambda i: flow_forward_backward(
+        g1f + 0.0 * i, g2f, prod._replace(backward_scale=2)).flow.sum())
+
+    # Multi-start refine cost: 1-start vs batched 4-start (VERDICT item 6:
+    # target <= 1.5x).
+    from rs_sfm_tpu.config import PipelineConfig
+    from rs_sfm_tpu.solver.pipeline import estimate_from_flow
+
+    flow_dev = jnp.asarray(_make_flow(h, w))
+    for js in (1, 4):
+        cfgj = PipelineConfig(ransac_trials=256, ransac_chunk=32,
+                              ransac_tol=0.02, refine_iterations=30,
+                              refine_rel_tol=0.0, refine_starts=js,
+                              refine_engine="pallas",
+                              ransac_engine="pallas")
+        t4(f"r4_solver_starts{js}", lambda i, c=cfgj: estimate_from_flow(
+            flow_dev, intr, 0.9, c,
+            jax.random.fold_in(jax.random.PRNGKey(0), i)).v.sum())
+
     print(json.dumps(out))
 
 

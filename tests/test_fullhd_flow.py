@@ -85,3 +85,20 @@ def test_fullhd_photometric_robust(fullhd_pair):
         noise_sigma=0.005), jnp.float32)
     _gate(intr, i1, i2p, gt, "robust",
           epe_med_max=5.0, err_v_max=0.2)
+
+
+def test_auto_preset_selection(fullhd_pair):
+    """`--flow-model auto` (VERDICT r4 item 4): the coarse probe must pick
+    plain on the clean pair (keeping the 0.040 rad accuracy) and robust on
+    the photometric pair — selection correctness plus the two preset gates
+    above imply all protocol rows pass with no per-scene flags."""
+    from rs_sfm_tpu.flow.auto import probe_flow_preset
+
+    intr, i1, i2, gt = fullhd_pair
+    name, stats = probe_flow_preset(i1, i2, return_stats=True)
+    assert name == "variational", (name, stats)
+    i2p = jnp.asarray(apply_photometric(
+        i2, jax.random.PRNGKey(1), exposure=1.35, vignette=0.35,
+        noise_sigma=0.005), jnp.float32)
+    name_p, stats_p = probe_flow_preset(i1, i2p, return_stats=True)
+    assert name_p == "robust", (name_p, stats_p)

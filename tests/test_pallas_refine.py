@@ -161,3 +161,81 @@ def test_pallas_refine_matches_xla(optimize_k):
         assert abs(float(b.k) - float(a.k)) < 0.05
     # Both should have reduced the cost substantially.
     assert float(a.cost) < 0.5 * float(a.initial_cost)
+
+
+def test_pallas_refine_multi_matches_per_start():
+    """The J-start fused kernel must reproduce per-start single refinement
+    exactly (same iteration semantics; the starts only share the pixel
+    stream)."""
+    coords, flow, alpha, alpha_k, v, w, rho, k_true = _problem(seed=5)
+    n = coords.shape[0]
+    rng = np.random.default_rng(7)
+    j = 3
+    masks = jnp.asarray(rng.uniform(size=(j, n)) > 0.2)
+    v0 = jnp.asarray(np.asarray(v)[None] * np.asarray([[1.0], [1.4], [0.7]]),
+                     jnp.float32)
+    w0 = jnp.asarray(np.asarray(w)[None] * np.asarray([[1.0], [0.5], [1.5]]),
+                     jnp.float32)
+    k0 = jnp.asarray([0.3, 0.1, 0.6], jnp.float32)
+    rho0 = jnp.asarray(np.asarray(rho)[None]
+                       * rng.uniform(0.8, 1.2, size=(j, 1)), jnp.float32)
+
+    from rs_sfm_tpu.solver.refine_pallas import refine_pallas_multi
+
+    multi = refine_pallas_multi(
+        coords, flow, alpha, alpha_k, masks, v0, w0, k0, rho0,
+        optimize_k=True, iterations=12, interpret=True)
+    for s in range(j):
+        single = refine_pallas(
+            coords, flow, alpha, alpha_k, masks[s], v0[s], w0[s], k0[s],
+            rho0[s], optimize_k=True, iterations=12, interpret=True)
+        np.testing.assert_allclose(np.asarray(multi.cost[s]),
+                                   np.asarray(single.cost), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(multi.v[s]),
+                                   np.asarray(single.v), rtol=1e-5,
+                                   atol=1e-7)
+        np.testing.assert_allclose(np.asarray(multi.w[s]),
+                                   np.asarray(single.w), rtol=1e-5,
+                                   atol=1e-7)
+        np.testing.assert_allclose(np.asarray(multi.inv_depth[s]),
+                                   np.asarray(single.inv_depth), rtol=1e-5,
+                                   atol=1e-7)
+
+
+def test_pipeline_multistart_batched_recovers_motion():
+    """estimate_from_flow with refine_starts>1 (the batched multi-start
+    path) still recovers the true motion on synthetic flow."""
+    from rs_sfm_tpu.config import PipelineConfig
+    from rs_sfm_tpu.geom.camera import Intrinsics
+    from rs_sfm_tpu.solver.pipeline import estimate_from_flow
+    from rs_sfm_tpu.eval.metrics import translation_error
+
+    rng = np.random.default_rng(11)
+    h, w_cols, f = 60, 80, 70.0
+    intr = Intrinsics(fx=f, fy=f, cx=w_cols / 2.0, cy=h / 2.0)
+    gamma = 0.9
+    v_t = jnp.asarray([0.02, -0.01, 0.015], jnp.float32)
+    w_t = jnp.asarray([0.003, -0.002, 0.004], jnp.float32)
+    ys, xs = np.meshgrid(np.arange(h, dtype=np.float64),
+                         np.arange(w_cols, dtype=np.float64), indexing="ij")
+    coords = jnp.asarray(
+        np.stack([(xs - intr.cx) / f, (ys - intr.cy) / f], -1).reshape(-1, 2),
+        jnp.float32)
+    depth = jnp.asarray(rng.uniform(4.0, 9.0, size=h * w_cols), jnp.float32)
+    # alpha fixed point: flow depends on alpha, alpha on pixel flow_y.
+    fl = jnp.zeros((h * w_cols, 2), jnp.float32)
+    from rs_sfm_tpu.solver.beta import get_alpha, get_alpha_k
+    from rs_sfm_tpu.solver.flow_model import predict_flow
+
+    for _ in range(6):
+        a = jnp.asarray(get_alpha(fl[:, 1] * f, h, gamma), jnp.float32)
+        ak = jnp.asarray(get_alpha_k(ys.reshape(-1), fl[:, 1] * f, h, gamma),
+                         jnp.float32)
+        fl = predict_flow(coords, 1.0 / depth, v_t, w_t, 0.0, a, ak)
+    flow_px = (fl * f).reshape(h, w_cols, 2)
+    cfg = PipelineConfig(ransac_trials=64, ransac_tol=0.01,
+                         refine_starts=4, refine_iterations=20)
+    res = estimate_from_flow(flow_px, intr, gamma, cfg,
+                             jax.random.PRNGKey(0))
+    assert float(translation_error(res.v, v_t)) < 0.03
+    assert float(jnp.linalg.norm(res.w - w_t)) < 1e-3

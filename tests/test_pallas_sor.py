@@ -53,9 +53,30 @@ def test_pallas_sor_partial_schedule_and_phase():
     assert np.abs(fx - fp).max() < 1e-3, np.abs(fx - fp).max()
 
 
-def test_pallas_sor_fallback_on_unsupported_shape():
-    """Odd widths fall back to the XLA loop silently (same API)."""
-    i1, i2 = _pair(96, 200, seed=5)
+def test_pallas_sor_odd_shapes_match_xla():
+    """Arbitrary (non-lane-aligned) shapes — the r4 generalization that
+    lets every pyramid level use the fused kernel — must still match the
+    XLA loop exactly: the edge-replicated padding may not leak into the
+    true interior.  135x240 is the real level-3 shape of a full-HD
+    pyramid; 98x200 exercises odd rows AND columns."""
+    for (h, w), seed in (((135, 240), 5), ((98, 200), 7)):
+        i1, i2 = _pair(h, w, seed=seed)
+        cfg = DenseFlowConfig(levels=1, init_search_radius=0,
+                              refine_search_radius=0, iters=13, warps=2)
+        fx = np.asarray(dense_flow(i1, i2, cfg))
+        fp = np.asarray(dense_flow(i1, i2, cfg._replace(
+            sor_engine="pallas")))
+        assert np.abs(fx - fp).max() < 1e-3, ((h, w),
+                                              np.abs(fx - fp).max())
+
+
+def test_pallas_sor_fallback_on_tiny_shape():
+    """Sub-threshold levels fall back to the XLA loop silently."""
+    from rs_sfm_tpu.ops.pallas.sor import supported
+
+    assert not supported(24, 48, 0.0)
+    assert supported(135, 240, 0.0)
+    i1, i2 = _pair(24, 48, seed=5)
     cfg = DenseFlowConfig(levels=1, init_search_radius=0,
                           refine_search_radius=0, sor_engine="pallas")
     f = np.asarray(dense_flow(i1, i2, cfg))

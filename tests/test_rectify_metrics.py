@@ -160,3 +160,46 @@ def test_backproject_packed_matches_scatter():
     mism = (np.abs(np.asarray(a.gs_image) - np.asarray(b.gs_image))
             .max(axis=-1) > 1e-6).mean()
     assert mism < 0.01, mism
+
+
+def test_backproject_packed24_matches_scatter():
+    """The gather-free packed24 engine (color rides in the scatter key)
+    agrees with the exact-depth engine: identical hit mask, colors equal
+    up to 8-bit quantization except at quantized-depth ties (<1%)."""
+    pair, intr = _pair()
+    f1 = pair.frame1
+    r, t = scanline_poses(jnp.asarray(V), jnp.asarray(WROT), 0.0, H, GAMMA,
+                          dtype=jnp.float64)
+    a = backproject(f1.rs_image, f1.rs_depth, r, t, intr, method="packed24")
+    b = backproject(f1.rs_image, f1.rs_depth, r, t, intr, method="scatter")
+    np.testing.assert_array_equal(np.asarray(a.scattered),
+                                  np.asarray(b.scattered))
+    sa = np.asarray(a.gs_image, np.float64)
+    sb = np.asarray(b.gs_image, np.float64)
+    sc = np.asarray(a.scattered)
+    # 8-bit color quantization bound where the same source wins.
+    close = np.abs(sa - sb).max(axis=-1) <= (1.0 / 255.0 + 1e-9)
+    mism = (~close & sc).mean()
+    assert mism < 0.01, mism
+
+
+def test_backproject_packed24_uint8_exact():
+    """On uint8 sources with distinct depths the packed24 winner is the
+    true front surface and colors are bit-exact."""
+    h = w = 32
+    rng = np.random.default_rng(0)
+    img = rng.integers(2, 255, (h, w, 3)).astype(np.uint8)
+    depth = jnp.asarray(4.0 + rng.uniform(0, 1, (h, w)), jnp.float32)
+    intr_s = type(_pair()[1])(fx=40.0, fy=40.0, cx=16.0, cy=16.0)
+    r = jnp.tile(jnp.eye(3, dtype=jnp.float32)[None], (h, 1, 1))
+    t = jnp.zeros((h, 3), jnp.float32)
+    a = backproject(jnp.asarray(img), depth, r, t, intr_s,
+                    method="packed24")
+    b = backproject(jnp.asarray(img), depth, r, t, intr_s,
+                    method="scatter")
+    sc = np.asarray(a.scattered)
+    np.testing.assert_array_equal(np.asarray(a.scattered),
+                                  np.asarray(b.scattered))
+    # Identity pose: every pixel maps to itself, colors must round-trip
+    # exactly through the packed key.
+    np.testing.assert_array_equal(np.asarray(a.gs_image)[sc], img[sc])
