@@ -166,9 +166,16 @@ def main():
 
     flow_cfg = DenseFlowConfig(warp_engine="pallas", sor_engine="pallas",
                                backward_scale=2)
+    # The e2e benched configuration IS the gated configuration
+    # (tests/test_fullhd_flow.py EST_CFG + the STRESS.md protocol):
+    # 256 trials, tol 0.02, refine_starts=4, 30 LM iterations.  r3 benched
+    # 2 starts while the gates used 4 (VERDICT r3 weak #3); the batched
+    # multi-start kernel (ops/pallas/refine_kernels.lm_iter_multi) makes
+    # the aligned config affordable.
     est_cfg = PipelineConfig(ransac_trials=256, ransac_chunk=32,
                              ransac_tol=0.02, refine_iterations=30,
-                             refine_rel_tol=0.0, refine_starts=2,
+                             refine_rel_tol=0.0, refine_starts=4,
+                             refine_winnow_iters=8,
                              refine_engine="pallas",
                              ransac_engine="pallas")
     # Image pair: textured frame 1; frame 2 = frame 1 resampled through a
@@ -214,8 +221,9 @@ def main():
         "value": round(e2e_pairs_per_s, 4),
         "unit": "frame-pairs/s (1920x1080 end-to-end: pyramidal dense flow "
                 "fwd + half-res bwd + FB occlusion + 256-hypothesis "
-                "Pallas RANSAC + 2-start 30-iter Pallas Schur-LM + "
-                "rectify; estimated-flow production path)",
+                "Pallas RANSAC + batched 4-start winnowed 30-iter Pallas Schur-LM "
+                "+ packed24 rectify; the GATED production config — "
+                "tests/test_fullhd_flow.py EST_CFG)",
         "vs_baseline": round(e2e_pairs_per_s / (1.0 / 160.0), 1),
     }
     print(json.dumps(e2e_result))

@@ -88,6 +88,15 @@ class PipelineConfig:
     # DISTINCT basins (without it, saturated-consensus problems put all J
     # in one basin and the re-scoring cannot escape it).  0 = plain top-J.
     refine_start_diversity: float = 0.3
+    # Winnowing schedule for multi-start refinement (0 = off): run the J
+    # batched starts for only this many LM iterations, re-score all J
+    # refined candidates against all pixels, keep the lexicographic best,
+    # and finish it alone for the remaining refine_iterations.  VarPro LM
+    # settles basins in ~8-10 iterations (the 30-iteration production
+    # setting is convergence safety, bench refine_cost_rel_delta proof),
+    # so the basin RANKING is stable well before full convergence — this
+    # buys back most of the J x iteration cost of multi-start.
+    refine_winnow_iters: int = 0
     # Deterministic k initialization (constant-acceleration mode): before
     # LM, evaluate the refinement objective on this many k grid points
     # (closed-form ρ + exact linear (v,w) re-fit per point, solver/kscan.py)

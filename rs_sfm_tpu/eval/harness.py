@@ -23,8 +23,8 @@ import jax.numpy as jnp
 from rs_sfm_tpu.config import PipelineConfig
 from rs_sfm_tpu.data.dataset import PairData, true_depth_from_unprojection
 from rs_sfm_tpu.eval import artifacts
-from rs_sfm_tpu.eval.metrics import (mean_reprojection_error, rotation_error,
-                                     translation_error)
+from rs_sfm_tpu.eval.metrics import (depth_rmse, mean_reprojection_error,
+                                     rotation_error, translation_error)
 from rs_sfm_tpu.flow.true_flow import true_flow
 from rs_sfm_tpu.geom.rspose import scanline_poses
 from rs_sfm_tpu.rectify.backproject import backproject
@@ -57,6 +57,10 @@ class VelocityErrors(NamedTuple):
     error_v: float
     error_reproject: float
     num_inliers: np.ndarray     # (num_evaluations,)
+    # r4 depth-quality columns (batched harness only; None on the
+    # sequential path unless GT depth is available).
+    error_reproject_ls_vec: np.ndarray = None  # LS gauge-scale err3d
+    depth_rmse_vec: np.ndarray = None          # scale-aligned depth RMSE
 
 
 def compute_flow(pair: PairData, use_deep_flow: bool = False,
@@ -108,10 +112,14 @@ def _evaluate_batched_jit(flow_px, rs_image, true_depth, poses_r, poses_t,
         rect = backproject(rs_image, res.depth_map, r_sl, t_sl, intr)
         err3d, _, _ = mean_reprojection_error(
             rect.coords_3d, rect.valid, true_depth, poses_r, poses_t, intr)
+        err3d_ls, _, _ = mean_reprojection_error(
+            rect.coords_3d, rect.valid, true_depth, poses_r, poses_t, intr,
+            scale_mode="ls")
+        drmse, _ = depth_rmse(res.depth_map, true_depth, res.inlier_mask)
         return (res.w, res.v, res.k,
                 rotation_error(res.w, w_true),
                 translation_error(res.v, v_true),
-                err3d, res.num_inliers)
+                err3d, res.num_inliers, err3d_ls, drmse)
 
     return jax.lax.map(one, keys)
 
@@ -159,7 +167,7 @@ def evaluate_velocities_batched(
             np.asarray(pair.frame1.poses_t))
     true_depth = jnp.asarray(true_depth, dtype=dtype)
     keys = jax.random.split(key, num_evaluations)
-    w, v, k, ew, ev, er, ni = _evaluate_batched_jit(
+    w, v, k, ew, ev, er, ni, er_ls, drm = _evaluate_batched_jit(
         flow_px, jnp.asarray(pair.frame1.rs_image, dtype), true_depth,
         jnp.asarray(pair.frame1.poses_r, dtype),
         jnp.asarray(pair.frame1.poses_t, dtype),
@@ -175,7 +183,9 @@ def evaluate_velocities_batched(
         error_reproject_vec=er,
         error_w=float(np.mean(ew)), error_v=float(np.mean(ev)),
         error_reproject=float(np.nanmean(er)),
-        num_inliers=np.asarray(ni))
+        num_inliers=np.asarray(ni),
+        error_reproject_ls_vec=np.asarray(er_ls),
+        depth_rmse_vec=np.asarray(drm))
 
 
 def evaluate_velocities(

@@ -79,6 +79,8 @@ def probe_flow_preset(image1, image2, *, downsamples: int = 3,
     i1 = _to_gray(jnp.asarray(image1, jnp.float32))
     i2 = _to_gray(jnp.asarray(image2, jnp.float32))
     for _ in range(downsamples):
+        if min(i1.shape) < 64:
+            break  # keep the probe statistically meaningful on small pairs
         i1 = _downsample(i1)
         i2 = _downsample(i2)
     cfg = DenseFlowConfig(levels=4, iters=12, warps=2)

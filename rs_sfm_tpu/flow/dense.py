@@ -34,6 +34,14 @@ class DenseFlowConfig(NamedTuple):
     levels: int = 6            # pyramid levels (auto-capped by image size)
     warps: int = 3             # warping iterations per level
     iters: int = 20            # red-black SOR sweeps per warp
+    # Cheaper settings for the NON-finest levels (0 = same as warps/iters).
+    # Coarse levels only initialize the continuation — their solution is
+    # upsampled and re-solved — so fewer warps/sweeps there trade no
+    # measurable finest-level EPE for a large cut of the pyramid-tail
+    # wall-clock (measured r4: the 5 coarse levels cost ~40% of the
+    # full-HD forward pass at equal settings).
+    warps_coarse: int = 0
+    iters_coarse: int = 0
     omega: float = 1.85        # SOR over-relaxation factor
     smoothness: float = 0.08   # λ: smoothness weight
     gamma_grad: float = 0.7    # gradient-constancy weight
@@ -201,11 +209,48 @@ def _downsample(x):
     return _gauss_blur(x)[::2, ::2]
 
 
+def _up2(x):
+    """Exact 2x bilinear upsample of a (H, W) plane on the VPU.
+
+    jax.image.resize costs ~3.3 ms PER CALL on the TPU regardless of size
+    (measured, results/profile_r4c — a gather-lowered path); the pyramid
+    pays ~10 such calls per forward/backward pair.  This interleave
+    formulation (even samples copy, odd samples average with the
+    edge-clamped next neighbor) is a handful of fused elementwise ops.
+    """
+    h, w = x.shape
+    # Half-pixel-center convention (matches jax.image.resize bilinear):
+    # fine sample j sits at coarse coordinate j/2 - 0.25, so
+    # out[2i] = 0.75 x[i] + 0.25 x[i-1], out[2i+1] = 0.75 x[i] + 0.25
+    # x[i+1] (edge-clamped).  Sample-aligned interleaving instead would
+    # shift the field by half a fine pixel per level transition —
+    # measured as a census-flow regression.
+    rows = jnp.stack([0.75 * x + 0.25 * _shift(x, 1, 0),
+                      0.75 * x + 0.25 * _shift(x, -1, 0)], axis=1)
+    rows = rows.reshape(2 * h, w)
+    cols = jnp.stack([0.75 * rows + 0.25 * _shift(rows, 1, 1),
+                      0.75 * rows + 0.25 * _shift(rows, -1, 1)], axis=2)
+    return cols.reshape(2 * h, 2 * w)
+
+
 def _upsample_flow(flow, shape):
-    """Bilinear-resize flow to `shape` and scale the vectors accordingly."""
+    """Resize flow to `shape` and scale the vectors accordingly.
+
+    Pyramid levels differ by exactly 2x up to a +1 remainder on odd dims;
+    that case takes the cheap interleave path (edge-replicating the last
+    row/column).  Arbitrary ratios fall back to jax.image.resize.
+    """
     h, w = shape
     fh, fw = flow.shape[:2]
-    out = jax.image.resize(flow, (h, w, 2), method="bilinear")
+    if 0 <= h - 2 * fh <= 1 and 0 <= w - 2 * fw <= 1:
+        u = _up2(flow[..., 0])
+        v = _up2(flow[..., 1])
+        out = jnp.stack([u, v], axis=-1)
+        if h - 2 * fh or w - 2 * fw:
+            out = jnp.pad(out, ((0, h - 2 * fh), (0, w - 2 * fw), (0, 0)),
+                          mode="edge")
+    else:
+        out = jax.image.resize(flow, (h, w, 2), method="bilinear")
     scale = jnp.asarray([w / fw, h / fh], flow.dtype)
     return out * scale
 
@@ -303,6 +348,23 @@ def _median3(x):
     return v[4]
 
 
+def _median_flow(flow, cfg):
+    """3x3 median of both flow planes; fused Pallas kernel on the TPU
+    production engines (the XLA shift network costs 3.2 ms/plane at
+    full-HD — measured, ops/pallas/median.py), XLA fallback otherwise."""
+    h, w = flow.shape[:2]
+    if cfg is not None and (cfg.sor_engine == "pallas"
+                            or cfg.warp_engine == "pallas"):
+        from rs_sfm_tpu.ops.pallas import median as pmedian
+
+        if pmedian.supported(h, w):
+            planes = pmedian.median3_planes(
+                jnp.stack([flow[..., 0], flow[..., 1]]))
+            return jnp.stack([planes[0], planes[1]], axis=-1)
+    return jnp.stack([_median3(flow[..., 0]), _median3(flow[..., 1])],
+                     axis=-1)
+
+
 def _coarse_init(i1, i2, radius: int, cfg=None):
     """Exhaustive integer-displacement search at the coarsest level.
 
@@ -390,17 +452,21 @@ def _discrete_refine(i1, i2, flow, radius: int, cfg):
 
     init = (jnp.full(i1.shape, jnp.inf, i1.dtype), flow)
     (_, best), _ = jax.lax.scan(body, init, (dys, dxs))
-    return jnp.stack([_median3(best[..., 0]), _median3(best[..., 1])],
-                     axis=-1)
+    return _median_flow(best, cfg)
 
 
-def _level_solve(i1, i2, flow, cfg: DenseFlowConfig):
+def _level_solve(i1, i2, flow, cfg: DenseFlowConfig, *,
+                 finest: bool = True):
     """Warping + fixed-point Jacobi solves at one pyramid level."""
     lam = cfg.smoothness
     eps2 = cfg.eps * cfg.eps
+    warps = cfg.warps if finest or cfg.warps_coarse <= 0 else \
+        cfg.warps_coarse
+    iters = cfg.iters if finest or cfg.iters_coarse <= 0 else \
+        cfg.iters_coarse
 
     g1x, g1y = _gradients(i1)
-    for _ in range(cfg.warps):
+    for _ in range(warps):
         i2w = _warp_cfg(i2, flow, cfg)
         if cfg.gain_correct:
             # Aligned-pair gain refinement: the residual illumination field
@@ -502,16 +568,15 @@ def _level_solve(i1, i2, flow, cfg: DenseFlowConfig):
             coef = jnp.stack([ix, iy, c, ixx, ixy, iyy, cgx, cgy])
             u, v = psor.sor_sweeps_pallas(
                 coef, flow[..., 0], flow[..., 1],
-                iters=cfg.iters, omega=float(cfg.omega), lam=float(lam),
+                iters=iters, omega=float(cfg.omega), lam=float(lam),
                 eps2=float(eps2), wbr=float(cfg.brightness_weight),
                 wgrad=float(cfg.gamma_grad))
         else:
-            u, v = jax.lax.fori_loop(0, cfg.iters, sor,
+            u, v = jax.lax.fori_loop(0, iters, sor,
                                      (flow[..., 0], flow[..., 1]))
         flow = jnp.stack([u, v], axis=-1)
         if cfg.median:
-            flow = jnp.stack([_median3(flow[..., 0]),
-                              _median3(flow[..., 1])], axis=-1)
+            flow = _median_flow(flow, cfg)
     return flow
 
 
@@ -563,7 +628,7 @@ def dense_flow(image1, image2, cfg: DenseFlowConfig = DenseFlowConfig()):
                 radius = cfg.refine_fine_radius
             if radius > 0:
                 flow = _discrete_refine(p1[lvl], p2[lvl], flow, radius, cfg)
-        flow = _level_solve(p1[lvl], p2[lvl], flow, cfg)
+        flow = _level_solve(p1[lvl], p2[lvl], flow, cfg, finest=(lvl == 0))
     return flow
 
 

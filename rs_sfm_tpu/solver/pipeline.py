@@ -177,37 +177,59 @@ def estimate_from_flow(
         if use_k and cfg.k_scan_points > 0:
             v0s, w0s, k0s, rho_j = jax.vmap(run_kscan)(
                 inl_j, v0s, w0s, k0s, rho_j)
-        if cfg.refine_engine == "pallas" and axis_name is None:
-            from rs_sfm_tpu.solver.refine_pallas import refine_pallas_multi
+        winnow = (cfg.refine_winnow_iters
+                  if 0 < cfg.refine_winnow_iters < cfg.refine_iterations
+                  else 0)
+        multi_iters = winnow if winnow else cfg.refine_iterations
 
-            ref = refine_pallas_multi(
-                coords, flow_n, alpha, alpha_k, inl_j, v0s, w0s, k0s,
-                rho_j, optimize_k=use_k, iterations=cfg.refine_iterations,
-                rel_tol=cfg.refine_rel_tol)
-        else:
-            ref = jax.vmap(
+        def refine_multi(masks, vs, ws, ks, rhos, iters):
+            if cfg.refine_engine == "pallas" and axis_name is None:
+                from rs_sfm_tpu.solver.refine_pallas import (
+                    refine_pallas_multi)
+
+                return refine_pallas_multi(
+                    coords, flow_n, alpha, alpha_k, masks, vs, ws, ks,
+                    rhos, optimize_k=use_k, iterations=iters,
+                    rel_tol=cfg.refine_rel_tol)
+            return jax.vmap(
                 lambda m, a, b, c, d: refine(
                     coords, flow_n, alpha, alpha_k, m, a, b, c, d,
-                    optimize_k=use_k, iterations=cfg.refine_iterations,
+                    optimize_k=use_k, iterations=iters,
                     rel_tol=cfg.refine_rel_tol, axis_name=axis_name)
-            )(inl_j, v0s, w0s, k0s, rho_j)
-        # Re-score every refined model; ONE psum of the stacked vote table
-        # under sharding (not 2 scalar psums per start).
-        num_r, err_r, rho_r, inl_r = _score_hypotheses(
-            coords, flow_n, alpha, alpha_k, valid,
-            ref.v, ref.w, ref.k, cfg.ransac_tol)
-        votes = _psum(jnp.stack([num_r.astype(err_r.dtype), err_r],
-                                axis=-1))
-        num_g = votes[:, 0]
-        err_g = votes[:, 1]
-        n_total = (n_px * jax.lax.psum(1, axis_name)
-                   if axis_name is not None else n_px)
-        # Lexicographic (num desc, err asc) as a composite score; exact
-        # ties keep the earliest (best-scored) start, like the sequential
-        # formulation's strict comparisons.
-        big = jnp.asarray(n_total * cfg.ransac_tol + 1.0, err_g.dtype)
-        score_j = num_g * big - jnp.where(jnp.isfinite(err_g), err_g, big)
-        best_j = jnp.argmax(score_j)
+            )(masks, vs, ws, ks, rhos)
+
+        ref = refine_multi(inl_j, v0s, w0s, k0s, rho_j, multi_iters)
+
+        def rescore(vs, ws, ks):
+            """Global lexicographic vote; ONE psum of the stacked table
+            under sharding (not 2 scalar psums per start)."""
+            num_r, err_r, rho_r, inl_r = _score_hypotheses(
+                coords, flow_n, alpha, alpha_k, valid, vs, ws, ks,
+                cfg.ransac_tol)
+            votes = _psum(jnp.stack([num_r.astype(err_r.dtype), err_r],
+                                    axis=-1))
+            num_g = votes[:, 0]
+            err_g = votes[:, 1]
+            n_total = (n_px * jax.lax.psum(1, axis_name)
+                       if axis_name is not None else n_px)
+            # Exact ties keep the earliest (best-scored) start, like the
+            # sequential formulation's strict comparisons.
+            big = jnp.asarray(n_total * cfg.ransac_tol + 1.0, err_g.dtype)
+            score_j = num_g * big - jnp.where(jnp.isfinite(err_g), err_g,
+                                              big)
+            return jnp.argmax(score_j), num_g, rho_r, inl_r
+
+        best_j, num_g, rho_r, inl_r = rescore(ref.v, ref.w, ref.k)
+        if winnow:
+            # Finish the winner alone for the remaining iterations from
+            # its winnow-phase state (fresh LM damping on its basin).
+            v_b = ref.v[best_j]
+            w_b = ref.w[best_j]
+            k_b = ref.k[best_j]
+            ref = refine_multi(inl_r[best_j][None], v_b[None], w_b[None],
+                               k_b[None], rho_r[best_j][None],
+                               cfg.refine_iterations - winnow)
+            best_j, num_g, rho_r, inl_r = rescore(ref.v, ref.w, ref.k)
         v, w, k = ref.v[best_j], ref.w[best_j], ref.k[best_j]
         # Use the closed-form ρ at the refined motion (identical optimum to
         # the LM per-pixel depths, but defined consistently with the

@@ -40,7 +40,7 @@ GAMMA = 0.9
 OUT = os.path.join(REPO, "results", "err3d_decompose.json")
 
 SCENE_PRESET = {
-    "castle_clean": "plain",
+    "castle_clean": "variational",
     "castle_photo": "robust",
     "stress": "robust",
 }

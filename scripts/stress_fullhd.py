@@ -131,7 +131,7 @@ def phase_eval(args):
     # STRESS.md), multi-start refinement.
     est_cfg = PipelineConfig(ransac_trials=256, ransac_tol=0.02,
                              refine_iterations=30, refine_starts=4,
-                             refine_rel_tol=0.0)
+                             refine_winnow_iters=8, refine_rel_tol=0.0)
 
     fb_fn = {}
 
@@ -156,6 +156,15 @@ def phase_eval(args):
         mover = data["mover"]
         rigid = ~mover & (np.linalg.norm(gt, axis=-1) > 0)
         row = out.get(scene, {})
+        if "auto_preset" not in row:
+            from rs_sfm_tpu.flow.auto import probe_flow_preset
+
+            name, stats = probe_flow_preset(i1, i2, return_stats=True)
+            row["auto_preset"] = name
+            row["auto_stats"] = stats
+            out[scene] = row
+            _write(args.out, out)
+            print(scene, "auto ->", name, stats, flush=True)
         for cfg_name in flow_cfgs:
             if f"err_v_{cfg_name}" in row:
                 continue
@@ -187,6 +196,26 @@ def phase_eval(args):
             if m_inl.any():
                 row[f"epe_{cfg_name}_inlier_med"] = float(
                     np.median(epe[m_inl]))
+
+            # Model-feedback pass (VERDICT r4 #7): extended mask +
+            # model-corrected flow; the unocc metrics below are the
+            # feedback product's trusted-pixel statistics.
+            from rs_sfm_tpu.flow.feedback import model_feedback
+
+            fbk = model_feedback(fb.flow, fb.occlusion, res, intr,
+                                 GAMMA, est_cfg)
+            epe_c = np.linalg.norm(np.asarray(fbk.flow) - gt, axis=-1)
+            occ_e = np.asarray(fbk.occlusion)
+            row[f"fb_epe_{cfg_name}_unocc"] = float(
+                epe_c[rigid & ~occ_e].mean())
+            row[f"fb_epe_{cfg_name}_unocc_raw"] = float(
+                epe[rigid & ~occ_e].mean())
+            row[f"fb_epe_{cfg_name}_all"] = float(epe_c[rigid].mean())
+            row[f"fb_epe_{cfg_name}_med"] = float(
+                np.median(epe_c[rigid]))
+            row[f"fb_occ_frac_{cfg_name}"] = float(occ_e.mean())
+            row[f"fb_depth_outlier_frac_{cfg_name}"] = float(
+                np.asarray(fbk.depth_outlier).mean())
             out[scene] = row
             _write(args.out, out)
             print(scene, cfg_name,
@@ -222,6 +251,10 @@ def phase_eval(args):
                     "err_w_mean": errs.error_w,
                     "err3d_mean": float(np.nanmean(
                         errs.error_reproject_vec)),
+                    "err3d_ls_mean": float(np.nanmean(
+                        errs.error_reproject_ls_vec)),
+                    "depth_rmse_mean": float(np.nanmean(
+                        errs.depth_rmse_vec)),
                     "evals": args.evals,
                 }
                 out[scene] = row

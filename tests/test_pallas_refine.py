@@ -239,3 +239,49 @@ def test_pipeline_multistart_batched_recovers_motion():
                              jax.random.PRNGKey(0))
     assert float(translation_error(res.v, v_t)) < 0.03
     assert float(jnp.linalg.norm(res.w - w_t)) < 1e-3
+
+
+def test_pipeline_winnow_matches_full_multistart():
+    """refine_winnow_iters: the 2-phase (J starts x few iters -> winner
+    alone) schedule must land in the same basin as full J x 30 on a
+    well-posed problem (basin ranking is stable long before LM
+    convergence)."""
+    from rs_sfm_tpu.config import PipelineConfig
+    from rs_sfm_tpu.solver.pipeline import estimate_from_flow
+    from tests.test_pallas_refine import _problem  # noqa: self-import ok
+
+    import numpy as _np
+    from rs_sfm_tpu.geom.camera import Intrinsics
+    from rs_sfm_tpu.solver.beta import get_alpha, get_alpha_k
+    from rs_sfm_tpu.solver.flow_model import predict_flow
+
+    rng = _np.random.default_rng(17)
+    h, w_cols, f = 60, 80, 70.0
+    intr = Intrinsics(fx=f, fy=f, cx=w_cols / 2.0, cy=h / 2.0)
+    v_t = jnp.asarray([0.02, -0.01, 0.015], jnp.float32)
+    w_t = jnp.asarray([0.003, -0.002, 0.004], jnp.float32)
+    ys, xs = _np.meshgrid(_np.arange(h, dtype=_np.float64),
+                          _np.arange(w_cols, dtype=_np.float64),
+                          indexing="ij")
+    coords = jnp.asarray(_np.stack([(xs - intr.cx) / f, (ys - intr.cy) / f],
+                                   -1).reshape(-1, 2), jnp.float32)
+    depth = jnp.asarray(rng.uniform(4.0, 9.0, size=h * w_cols), jnp.float32)
+    fl = jnp.zeros((h * w_cols, 2), jnp.float32)
+    for _ in range(6):
+        a = jnp.asarray(get_alpha(fl[:, 1] * f, h, 0.9), jnp.float32)
+        ak = jnp.asarray(get_alpha_k(ys.reshape(-1), fl[:, 1] * f, h, 0.9),
+                         jnp.float32)
+        fl = predict_flow(coords, 1.0 / depth, v_t, w_t, 0.0, a, ak)
+    flow_px = (fl * f).reshape(h, w_cols, 2)
+    base = PipelineConfig(ransac_trials=64, ransac_tol=0.01,
+                          refine_starts=4, refine_iterations=30)
+    r_full = estimate_from_flow(flow_px, intr, 0.9, base,
+                                jax.random.PRNGKey(0))
+    r_win = estimate_from_flow(flow_px, intr, 0.9,
+                               base.__class__(**{**base.__dict__,
+                                                 "refine_winnow_iters": 8}),
+                               jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(r_win.v), np.asarray(r_full.v),
+                               rtol=0, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(r_win.w), np.asarray(r_full.w),
+                               rtol=0, atol=1e-5)

@@ -81,3 +81,20 @@ def test_pallas_sor_fallback_on_tiny_shape():
                           refine_search_radius=0, sor_engine="pallas")
     f = np.asarray(dense_flow(i1, i2, cfg))
     assert np.isfinite(f).all()
+
+
+def test_pallas_median_matches_xla():
+    """ops/pallas/median.py must reproduce dense._median3 bit-exactly
+    (same sorting network, same edge clamping) at aligned and odd
+    shapes."""
+    import jax.numpy as jnp
+    from rs_sfm_tpu.flow.dense import _median3
+    from rs_sfm_tpu.ops.pallas.median import median3_planes
+
+    rng = np.random.default_rng(11)
+    for h, w in ((120, 256), (135, 240), (98, 200)):
+        x = jnp.asarray(rng.normal(size=(2, h, w)).astype(np.float32))
+        ref = np.stack([np.asarray(_median3(x[0])),
+                        np.asarray(_median3(x[1]))])
+        out = np.asarray(median3_planes(x))
+        np.testing.assert_array_equal(out, ref)
