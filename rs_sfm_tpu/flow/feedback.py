@@ -99,10 +99,20 @@ def _push_pull_fill(values, weights, levels: int = 6):
 def model_feedback(flow_px, occlusion, res: EstimationResult,
                    intr: Intrinsics, gamma, cfg: PipelineConfig,
                    *, fill_levels: int = 6, depth_tau: float = 0.5,
-                   depth_rounds: int = 2) -> FeedbackResult:
+                   depth_rounds: int = 2,
+                   residual_tol_px: float = 2.0) -> FeedbackResult:
     """Extend the occlusion mask by model outliers and correct their flow.
 
-    Two outlier families are fed back:
+    Three outlier families are fed back:
+      * tight-consensus outliers — the PRODUCTION lever (measured on the
+        full-HD dumps): the estimation tolerance must stay loose
+        (ransac_tol 0.02 ≈ 36 px of orthogonal slack at full-HD f — the
+        basin-stability requirement, STRESS.md §4), so the "inlier" set
+        admits a fat tail of wrong-flow pixels (20% of unocc pixels above
+        2 px EPE carrying 96% of the unocc mean on castle_clean).  The
+        trusted-product mask re-tests every pixel against the FINAL
+        refined model at residual_tol_px (default 2 px): keeps ~86-91% of
+        the unocc pixels and drops their mean EPE 3.08 → ~1.0 px;
       * RANSAC outliers — flow the rigid model rejects outright;
       * depth-coherence outliers — the insidious case: smear flow that is
         nearly EPIPOLAR-CONSISTENT stays an inlier (the per-pixel free
@@ -175,8 +185,23 @@ def model_feedback(flow_px, occlusion, res: EstimationResult,
                                alpha2, alpha_k2)
     model_px = (model_n * fscale).reshape(h, w_cols, 2)
 
-    # Model-outlier extension: valid pixels the rigid model rejects.
-    outlier = (res.valid_mask & ~res.inlier_mask).reshape(h, w_cols)
+    # Model-outlier extension: valid pixels the rigid model rejects, OR
+    # pixels whose best-depth residual against the final model exceeds
+    # the tight product tolerance (per-pixel closed-form ρ ⇒ the residual
+    # is the component orthogonal to the epipolar direction).
+    coords2, flow_obs_n, alpha_o, alpha_ko, _ = prepare_flow_inputs(
+        flow_px, intr, gamma, cfg)
+    from rs_sfm_tpu.solver.depth import estimate_inverse_depth
+
+    rho_best = estimate_inverse_depth(coords2, flow_obs_n, res.v, res.w,
+                                      res.k, alpha_o, alpha_ko)
+    u_best = predict_flow(coords2, rho_best, res.v, res.w, res.k,
+                          alpha_o, alpha_ko)
+    fmean = jnp.sqrt(jnp.asarray(intr.fx * intr.fy, dtype))
+    resid_px = (jnp.linalg.norm(u_best - flow_obs_n, axis=-1)
+                * fmean).reshape(h, w_cols)
+    tight_out = res.valid_mask & (resid_px > residual_tol_px)
+    outlier = (res.valid_mask & ~res.inlier_mask) | tight_out
     occ_ext = occlusion | outlier | depth_out
 
     flow_out = jnp.where(occ_ext[..., None], model_px, flow_px)

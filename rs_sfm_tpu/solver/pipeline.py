@@ -168,7 +168,6 @@ def estimate_from_flow(
         # formulation, which cost ~J x the single-start wall clock).
         from rs_sfm_tpu.solver.ransac import _score_hypotheses
 
-        n_px = coords.shape[0]
         # Initial inlier sets + closed-form depths for all J starts at once.
         _, _, rho_j, inl_j = _score_hypotheses(
             coords, flow_n, alpha, alpha_k, valid,
@@ -202,22 +201,29 @@ def estimate_from_flow(
 
         def rescore(vs, ws, ks):
             """Global lexicographic vote; ONE psum of the stacked table
-            under sharding (not 2 scalar psums per start)."""
+            under sharding (not 2 scalar psums per start).
+
+            The (num desc, err asc) selection is EXACT two-stage — max
+            count, then min error among the count winners.  A single f32
+            composite score (num*big - err) silently loses error
+            differences below ~2^-24 of its magnitude (~4e3 at full-HD
+            counts), which re-introduced the seed-bimodal outlier
+            evaluations the diversity starts had eliminated (measured:
+            protocol means 0.16-0.26 vs medians 0.127 on the r4 stress
+            rerun before this fix)."""
             num_r, err_r, rho_r, inl_r = _score_hypotheses(
                 coords, flow_n, alpha, alpha_k, valid, vs, ws, ks,
                 cfg.ransac_tol)
             votes = _psum(jnp.stack([num_r.astype(err_r.dtype), err_r],
                                     axis=-1))
             num_g = votes[:, 0]
-            err_g = votes[:, 1]
-            n_total = (n_px * jax.lax.psum(1, axis_name)
-                       if axis_name is not None else n_px)
-            # Exact ties keep the earliest (best-scored) start, like the
+            err_g = jnp.where(jnp.isfinite(votes[:, 1]), votes[:, 1],
+                              jnp.inf)
+            best_num = jnp.max(num_g)
+            err_masked = jnp.where(num_g == best_num, err_g, jnp.inf)
+            # Ties keep the earliest (best-scored) start, like the
             # sequential formulation's strict comparisons.
-            big = jnp.asarray(n_total * cfg.ransac_tol + 1.0, err_g.dtype)
-            score_j = num_g * big - jnp.where(jnp.isfinite(err_g), err_g,
-                                              big)
-            return jnp.argmax(score_j), num_g, rho_r, inl_r
+            return jnp.argmin(err_masked), num_g, rho_r, inl_r
 
         best_j, num_g, rho_r, inl_r = rescore(ref.v, ref.w, ref.k)
         if winnow:

@@ -76,6 +76,17 @@ def main():
         "census2": DenseFlowConfig(warp_engine="pallas", census_weight=1.0,
                                    lcn=0.05, census_sigma=0.5,
                                    brightness_weight=0.5),
+        # --- round 4 ---
+        # cheaper non-finest levels (r4 pyramid-tail cut candidate)
+        "coarse2": base._replace(warps_coarse=2, iters_coarse=12),
+        "robust_coarse2": base._replace(lcn=0.05, warps_coarse=2,
+                                        iters_coarse=12),
+        # robust preset on the adversarial probes
+        "robust": base._replace(lcn=0.05),
+        # NCC-style matching (contrast-normalized patches) on the probes
+        "gaincorr2": base._replace(gain_correct=True),
+        # wider coarse search for the big-motion probe
+        "init12b": base._replace(init_search_radius=12),
     }
     names = (args.variants.split(",") if args.variants else list(variants))
     scenes = (args.scenes.split(",") if args.scenes else SCENES)
