@@ -123,6 +123,17 @@ class PipelineConfig:
     # Maximum hypotheses scored at once (memory control: trials are processed
     # in chunks of this size; each chunk materializes a (chunk, N) residual).
     ransac_chunk: int = 64
+    # Tight-consensus depth export (0 = off, the reference semantics:
+    # depth at every RANSAC inlier).  The loose estimation tolerance
+    # (0.02 normalized ≈ 36 px at full-HD f) is required for basin
+    # stability on estimated flow, but it admits a fat tail of
+    # wrong-flow "inliers" whose depths dominate the 3D error (measured:
+    # the flow-accurate 79% of clean-scene inliers carry err3d 0.11 vs
+    # 0.36 overall — results/err3d_decompose.json).  With this set, the
+    # exported depth map keeps only inliers whose flow the FINAL model
+    # fits within this many pixels; pose estimation is unaffected.
+    # Deliberate, flag-gated divergence (README "Documented divergences").
+    depth_residual_px: float = 0.0
     # Fix of the reference's f_x-for-y projection bug (src/rsframe.cc:639).
     # True  -> use f_y for the y coordinate (correct pinhole model).
     # False -> replicate reference behavior bit-for-bit.

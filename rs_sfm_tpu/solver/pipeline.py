@@ -266,7 +266,19 @@ def estimate_from_flow(
     v = v * sign
     z = z * sign
 
-    depth_map = jnp.where(rr.inlier_mask, z, jnp.zeros_like(z)).reshape(
+    depth_sel = rr.inlier_mask
+    if cfg.depth_residual_px > 0.0:
+        # Tight-consensus depth export (see PipelineConfig): keep only
+        # inliers whose flow the FINAL model fits within the product
+        # tolerance — the loose-tol tail's depths dominate the 3D error.
+        from rs_sfm_tpu.solver.flow_model import predict_flow
+
+        u_fin = predict_flow(coords, rho, v * sign, w, k, alpha, alpha_k)
+        fmean = jnp.sqrt(jnp.asarray(intr.fx * intr.fy, coords.dtype))
+        resid_px = jnp.linalg.norm(u_fin - flow_n, axis=-1) * fmean
+        depth_sel = depth_sel & (resid_px <= cfg.depth_residual_px)
+
+    depth_map = jnp.where(depth_sel, z, jnp.zeros_like(z)).reshape(
         h, w_cols)
     return EstimationResult(
         v=v, w=w, k=k,
