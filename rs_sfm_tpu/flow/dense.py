@@ -95,6 +95,18 @@ class DenseFlowConfig(NamedTuple):
     # off; it remains available for scenes with very fast fine-scale
     # motion.
     refine_fine_radius: int = 0
+    # Ambiguity (ratio) test for the discrete matching stages (0 = off).
+    # On REPETITIVE texture every period-shifted displacement is an
+    # equally good SSD match, and the discrete search mislocks once the
+    # period enters its radius (measured: 38.8 px median EPE on the
+    # strictly-periodic reptex probe, results/flow_variants_r4.json) — a
+    # failure no descriptor strength can fix, since the ambiguity is in
+    # the image itself.  With the test on, a discrete match is accepted
+    # only when its cost beats every alternative ≥2 px away by this
+    # factor (best < ratio·second); ambiguous pixels keep the variational
+    # continuation flow, whose coarse-to-fine lock stays within half a
+    # period per level.  Typical 0.8-0.9.
+    match_ratio: float = 0.0
     # Ternary-census data term (0 = off): 8 soft-sign neighbor-comparison
     # channels, each with its own Charbonnier penalty — invariant to any
     # monotone local illumination change (stronger than structure-texture,
@@ -399,21 +411,41 @@ def _coarse_init(i1, i2, radius: int, cfg=None):
     dys = jnp.repeat(jnp.arange(side), side)
     dxs = jnp.tile(jnp.arange(side), side)
 
+    ratio = cfg.match_ratio if cfg is not None else 0.0
+
     def body(carry, off):
-        best_cost, best_u, best_v = carry
+        best_cost, second_cost, best_u, best_v = carry
         dy, dx = off
         shifted = jax.lax.dynamic_slice(padded, (dy, dx), i1.shape)
         cost = box5((shifted - i1) ** 2)
+        du = (dx - radius).astype(i1.dtype)
+        dv = (dy - radius).astype(i1.dtype)
         better = cost < best_cost
+        # Ambiguity bookkeeping: best alternative ≥2 px from the current
+        # best; a dethroned best becomes the second when far enough from
+        # the new winner.
+        far = (jnp.abs(du - best_u) > 1.5) | (jnp.abs(dv - best_v) > 1.5)
+        second_cost = jnp.where(
+            better, jnp.where(far, best_cost, second_cost),
+            jnp.where(far & (cost < second_cost), cost, second_cost))
         best_cost = jnp.where(better, cost, best_cost)
-        best_u = jnp.where(better, (dx - radius).astype(i1.dtype), best_u)
-        best_v = jnp.where(better, (dy - radius).astype(i1.dtype), best_v)
-        return (best_cost, best_u, best_v), None
+        best_u = jnp.where(better, du, best_u)
+        best_v = jnp.where(better, dv, best_v)
+        return (best_cost, second_cost, best_u, best_v), None
 
     init_carry = (jnp.full(i1.shape, jnp.inf, i1.dtype),
+                  jnp.full(i1.shape, jnp.inf, i1.dtype),
                   jnp.zeros(i1.shape, i1.dtype),
                   jnp.zeros(i1.shape, i1.dtype))
-    (_, best_u, best_v), _ = jax.lax.scan(body, init_carry, (dys, dxs))
+    (best_cost, second_cost, best_u, best_v), _ = jax.lax.scan(
+        body, init_carry, (dys, dxs))
+    if ratio > 0.0:
+        # Repetitive-texture matches carry no information (see
+        # DenseFlowConfig.match_ratio): drop to the zero init that the
+        # variational continuation refines.
+        ok = best_cost < ratio * second_cost
+        best_u = jnp.where(ok, best_u, 0.0)
+        best_v = jnp.where(ok, best_v, 0.0)
     # Median-clean the discrete field (kills isolated mismatches).
     return jnp.stack([_median3(best_u), _median3(best_v)], axis=-1)
 
@@ -440,18 +472,29 @@ def _discrete_refine(i1, i2, flow, radius: int, cfg):
     dxs = (jnp.tile(jnp.arange(side), side) - radius).astype(i1.dtype)
 
     def body(carry, off):
-        best_cost, best = carry
+        best_cost, second_cost, best = carry
         dy, dx = off
         cand = flow + jnp.stack([jnp.full(i1.shape, dx, i1.dtype),
                                  jnp.full(i1.shape, dy, i1.dtype)], axis=-1)
         cost = box5((_warp_cfg(i2, cand, cfg) - i1) ** 2)
         better = cost < best_cost
+        # Ambiguity bookkeeping (see _coarse_init / match_ratio): best
+        # alternative ≥2 px from the current best displacement.
+        far = (jnp.abs(cand - best).max(axis=-1) > 1.5)
+        second_cost = jnp.where(
+            better, jnp.where(far, best_cost, second_cost),
+            jnp.where(far & (cost < second_cost), cost, second_cost))
         best_cost = jnp.where(better, cost, best_cost)
         best = jnp.where(better[..., None], cand, best)
-        return (best_cost, best), None
+        return (best_cost, second_cost, best), None
 
-    init = (jnp.full(i1.shape, jnp.inf, i1.dtype), flow)
-    (_, best), _ = jax.lax.scan(body, init, (dys, dxs))
+    init = (jnp.full(i1.shape, jnp.inf, i1.dtype),
+            jnp.full(i1.shape, jnp.inf, i1.dtype), flow)
+    (best_cost, second_cost, best), _ = jax.lax.scan(body, init, (dys, dxs))
+    if cfg.match_ratio > 0.0:
+        # Ambiguous matches keep the incoming variational flow.
+        ok = best_cost < cfg.match_ratio * second_cost
+        best = jnp.where(ok[..., None], best, flow)
     return _median_flow(best, cfg)
 
 

@@ -87,6 +87,10 @@ def main():
         "gaincorr2": base._replace(gain_correct=True),
         # wider coarse search for the big-motion probe
         "init12b": base._replace(init_search_radius=12),
+        # ambiguity (ratio) test in the discrete matching: repetitive
+        # texture defers to the variational continuation
+        "ratio08": base._replace(match_ratio=0.8),
+        "ratio09": base._replace(match_ratio=0.9),
     }
     names = (args.variants.split(",") if args.variants else list(variants))
     scenes = (args.scenes.split(",") if args.scenes else SCENES)
