@@ -177,6 +177,7 @@ def main():
                              refine_rel_tol=0.0, refine_starts=4,
                              refine_winnow_iters=8,
                              depth_residual_px=2.0,
+                             refine_loss_delta_px=3.0,
                              refine_engine="pallas",
                              ransac_engine="pallas")
     # Image pair: textured frame 1; frame 2 = frame 1 resampled through a

@@ -123,6 +123,14 @@ class PipelineConfig:
     # Maximum hypotheses scored at once (memory control: trials are processed
     # in chunks of this size; each chunk materializes a (chunk, N) residual).
     ransac_chunk: int = 64
+    # Huber robust loss for the joint refinement, as a PIXEL residual
+    # knee (0 = plain L2, the reference's behavior — its Ceres loss hooks
+    # are nullptr, src/nonlinearRefinement.cc:131-134).  On estimated
+    # flow the loose-tolerance inlier set contains structured smear
+    # outliers that bias the L2 fit; the Huber knee (IRLS weights in
+    # solver/refine.py) downweights them.  Converted to normalized units
+    # with the pair's intrinsics inside estimate_from_flow.
+    refine_loss_delta_px: float = 0.0
     # Tight-consensus depth export (0 = off, the reference semantics:
     # depth at every RANSAC inlier).  The loose estimation tolerance
     # (0.02 normalized ≈ 36 px at full-HD f) is required for basin

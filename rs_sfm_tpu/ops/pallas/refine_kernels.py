@@ -148,7 +148,7 @@ def _solve_7x8_scalar(h, b):
 
 def _iter_kernel(state_ref, px_ref, rho_prev_ref, rho_cand_ref,
                  out_ref, rho_eff_ref, rho_new_ref, accj_ref, accs_ref,
-                 accv_ref, *, tiles: int):
+                 accv_ref, *, tiles: int, loss_delta: float = 0.0):
     """One full LM iteration; see module docstring.
 
     state_ref: (128,) SMEM; px_ref: (8, TILE) VMEM;
@@ -179,7 +179,7 @@ def _iter_kernel(state_ref, px_ref, rho_prev_ref, rho_cand_ref,
     # parity pinned in TPU_VALIDATION.md §1).
     rho_eff, rho_new, g1, g2, accv = _reduce_start(
         px_ref, px_ref[6, :], rho_prev_ref[0, :], rho_cand_ref[0, :],
-        theta_cand, k_keep, accept, active)
+        theta_cand, k_keep, accept, active, loss_delta=loss_delta)
     rho_eff_ref[0, :] = rho_eff
     rho_new_ref[0, :] = rho_new
     accj_ref[:, 0:16] += g1
@@ -198,11 +198,18 @@ def _iter_kernel(state_ref, px_ref, rho_prev_ref, rho_cand_ref,
 
 
 def _reduce_start(px_ref, m, rho_eff, rho_cand_row, theta_cand, k_keep,
-                  accept, active):
+                  accept, active, loss_delta: float = 0.0):
     """Per-start tile work shared by the single- and multi-start kernels:
     depth merge + VarPro update + Gram/gradient reductions at the new
     candidate.  Returns (rho_eff, rho_new, g1 (16,16), g2 (8,8),
-    accv (1,128) lane-packed gradient/cost sums)."""
+    accv (1,128) lane-packed gradient/cost sums).
+
+    loss_delta > 0: Huber loss on the per-pixel residual norm — the IRLS
+    weight w = min(1, δ/‖r‖) at the evaluation point scales the masked
+    sums (√(m·w) on the squared-Gram rows, m·w on single-factor sums) and
+    the cost lane accumulates m·Huber(‖r‖) so accept/reject compares the
+    robust objective; the per-pixel VarPro depth is weight-invariant.
+    Matches solver/refine.py's IRLS formulation."""
     rho_eff = jnp.where(accept, rho_cand_row, rho_eff)
     # theta-dependent, rho-INDEPENDENT terms once (the kernel is VPU-bound
     # — measured r4; recomputing these for the VarPro pass and again for
@@ -248,15 +255,35 @@ def _reduce_start(px_ref, m, rho_eff, rho_cand_row, theta_cand, k_keep,
     g_rho = (jrx * rx + jry * ry) * m_
     c = [(jx[t] * jrx + jy[t] * jry) * m_ for t in range(7)]
 
+    sq = rx * rx + ry * ry
+    if loss_delta > 0.0:
+        # IRLS weights at the evaluation point; the squared-Gram rows take
+        # sqrt(w), single-factor sums take w.  The m2a/m2b split keeps the
+        # Schur ratios single-power: m2a carries the UNWEIGHTED c/d while
+        # m2b carries c*w, so (c*w)(c/d) = w * c^2/d.
+        nrm = jnp.sqrt(sq + 1e-24)
+        wl = jnp.minimum(jnp.float32(1.0), loss_delta / nrm)
+        swl = jnp.sqrt(wl)
+        cost_px = jnp.where(nrm <= loss_delta, sq,
+                            2.0 * loss_delta * nrm
+                            - loss_delta * loss_delta) * m_
+    else:
+        wl = jnp.float32(1.0)
+        swl = jnp.float32(1.0)
+        cost_px = sq * m_
+
     m1 = jnp.concatenate(
-        [(jx[t] * m_)[None, :] for t in range(7)] + [(rx * m_)[None, :]]
-        + [(jy[t] * m_)[None, :] for t in range(7)] + [(ry * m_)[None, :]],
+        [(jx[t] * m_ * swl)[None, :] for t in range(7)]
+        + [(rx * m_ * swl)[None, :]]
+        + [(jy[t] * m_ * swl)[None, :] for t in range(7)]
+        + [(ry * m_ * swl)[None, :]],
         axis=0)
     m2a = jnp.concatenate(
         [(c[t] * inv_d)[None, :] for t in range(7)]
         + [(g_rho * inv_d)[None, :]], axis=0)
     m2b = jnp.concatenate(
-        [c[t][None, :] for t in range(7)] + [g_rho[None, :]], axis=0)
+        [(c[t] * wl)[None, :] for t in range(7)] + [(g_rho * wl)[None, :]],
+        axis=0)
     dn = (((1,), (1,)), ((), ()))
     g1 = jax.lax.dot_general(m1, m1, dn,
                              preferred_element_type=jnp.float32,
@@ -272,10 +299,11 @@ def _reduce_start(px_ref, m, rho_eff, rho_cand_row, theta_cand, k_keep,
         return acc + jnp.where(lane == idx, val, jnp.float32(0.0))
 
     for t in range(7):
-        accv = put(accv, 28 + t, jnp.sum((jx[t] * rx + jy[t] * ry) * m_))
-    accv = put(accv, 35, jnp.sum((rx * rx + ry * ry) * m_))
+        accv = put(accv, 28 + t,
+                   jnp.sum((jx[t] * rx + jy[t] * ry) * m_ * wl))
+    accv = put(accv, 35, jnp.sum(cost_px))
     for t in range(7):
-        accv = put(accv, 64 + t, jnp.sum(c[t] * g_rho * inv_d))
+        accv = put(accv, 64 + t, jnp.sum(c[t] * wl * g_rho * inv_d))
     return rho_eff, rho_new, g1, g2, accv
 
 
@@ -349,7 +377,7 @@ def _decide_and_solve_start(sget, accj, accs, acc_row, lane_row,
 def _iter_kernel_multi(state_ref, px_ref, mask_ref, rho_prev_ref,
                        rho_cand_ref, out_ref, rho_eff_ref, rho_new_ref,
                        accj_ref, accs_ref, accv_ref, *, tiles: int,
-                       nstarts: int):
+                       nstarts: int, loss_delta: float = 0.0):
     """One LM iteration for J independent starts sharing the pixel stream.
 
     Multi-start refinement (solver/pipeline.py refine_starts > 1) runs J
@@ -381,7 +409,7 @@ def _iter_kernel_multi(state_ref, px_ref, mask_ref, rho_prev_ref,
         rho_eff0 = rho_prev_ref[s_i, :]
         rho_eff, rho_new, g1, g2, accv = _reduce_start(
             px_ref, m, rho_eff0, rho_cand_ref[s_i, :], theta_cand, k_keep,
-            accept, active)
+            accept, active, loss_delta=loss_delta)
         rho_eff_ref[s_i, :] = rho_eff
         rho_new_ref[s_i, :] = rho_new
         accj_ref[16 * s_i:16 * (s_i + 1), 0:16] += g1
@@ -409,9 +437,11 @@ def _iter_kernel_multi(state_ref, px_ref, mask_ref, rho_prev_ref,
 TILE_MULTI = 16384
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "tile"))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "tile", "loss_delta"))
 def lm_iter_multi(state, px, masks, rho_prev, rho_cand,
-                  interpret: bool = False, tile: int = TILE_MULTI):
+                  interpret: bool = False, tile: int = TILE_MULTI,
+                  loss_delta: float = 0.0):
     """One fused LM iteration for J starts (see _iter_kernel_multi).
 
     Args:
@@ -427,7 +457,8 @@ def lm_iter_multi(state, px, masks, rho_prev, rho_cand,
     j, n = rho_prev.shape
     tiles = n // tile
     return pl.pallas_call(
-        functools.partial(_iter_kernel_multi, tiles=tiles, nstarts=j),
+        functools.partial(_iter_kernel_multi, tiles=tiles, nstarts=j,
+                          loss_delta=loss_delta),
         grid=(tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -459,8 +490,9 @@ def lm_iter_multi(state, px, masks, rho_prev, rho_cand,
     )(state, px, masks, rho_prev, rho_cand)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def lm_iter(state, px, rho_prev, rho_cand, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "loss_delta"))
+def lm_iter(state, px, rho_prev, rho_cand, interpret: bool = False,
+            loss_delta: float = 0.0):
     """One fused LM iteration (merge + backsub + reduce + decide + solve).
 
     Args:
@@ -473,7 +505,8 @@ def lm_iter(state, px, rho_prev, rho_cand, interpret: bool = False):
     """
     tiles = px.shape[1] // TILE
     return pl.pallas_call(
-        functools.partial(_iter_kernel, tiles=tiles),
+        functools.partial(_iter_kernel, tiles=tiles,
+                          loss_delta=loss_delta),
         grid=(tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),

@@ -141,21 +141,30 @@ def estimate_from_flow(
                 k_grid, iters=cfg.k_scan_iters, axis_name=axis_name)
         return v0, w0, k0, rho0
 
+    # Huber knee in normalized units (intrinsics are static trace-time
+    # floats); both engines implement the same IRLS formulation.
+    loss_delta = (cfg.refine_loss_delta_px
+                  / float((intr.fx * intr.fy) ** 0.5)
+                  if cfg.refine_loss_delta_px > 0.0 else 0.0)
+    use_pallas_refine = (cfg.refine_engine == "pallas"
+                         and axis_name is None)
+
     def run_refine(inlier_mask, v0, w0, k0, rho0):
         v0, w0, k0, rho0 = run_kscan(inlier_mask, v0, w0, k0, rho0)
-        if cfg.refine_engine == "pallas" and axis_name is None:
+        if use_pallas_refine:
             from rs_sfm_tpu.solver.refine_pallas import refine_pallas
 
             return refine_pallas(
                 coords, flow_n, alpha, alpha_k, inlier_mask,
                 v0, w0, k0, rho0,
                 optimize_k=use_k, iterations=cfg.refine_iterations,
-                rel_tol=cfg.refine_rel_tol)
+                rel_tol=cfg.refine_rel_tol, loss_delta=loss_delta)
         return refine(
             coords, flow_n, alpha, alpha_k, inlier_mask,
             v0, w0, k0, rho0,
             optimize_k=use_k, iterations=cfg.refine_iterations,
-            rel_tol=cfg.refine_rel_tol, axis_name=axis_name)
+            rel_tol=cfg.refine_rel_tol, axis_name=axis_name,
+            loss_delta=loss_delta)
 
     if cfg.use_refinement and cfg.refine_starts > 1:
         # Multi-start: refine ALL top-J hypotheses as one batched problem —
@@ -182,19 +191,20 @@ def estimate_from_flow(
         multi_iters = winnow if winnow else cfg.refine_iterations
 
         def refine_multi(masks, vs, ws, ks, rhos, iters):
-            if cfg.refine_engine == "pallas" and axis_name is None:
+            if use_pallas_refine:
                 from rs_sfm_tpu.solver.refine_pallas import (
                     refine_pallas_multi)
 
                 return refine_pallas_multi(
                     coords, flow_n, alpha, alpha_k, masks, vs, ws, ks,
                     rhos, optimize_k=use_k, iterations=iters,
-                    rel_tol=cfg.refine_rel_tol)
+                    rel_tol=cfg.refine_rel_tol, loss_delta=loss_delta)
             return jax.vmap(
                 lambda m, a, b, c, d: refine(
                     coords, flow_n, alpha, alpha_k, m, a, b, c, d,
                     optimize_k=use_k, iterations=iters,
-                    rel_tol=cfg.refine_rel_tol, axis_name=axis_name)
+                    rel_tol=cfg.refine_rel_tol, axis_name=axis_name,
+                    loss_delta=loss_delta)
             )(masks, vs, ws, ks, rhos)
 
         ref = refine_multi(inl_j, v0s, w0s, k0s, rho_j, multi_iters)

@@ -108,9 +108,16 @@ def refine(
     init_lambda: float = 1e-6,
     rel_tol: float = 1e-8,
     axis_name: Optional[str] = None,
+    loss_delta: float = 0.0,
 ) -> RefineResult:
     """Schur-reduced LM refinement (reference nonLinearRefinement,
     src/nonlinearRefinement.cc:183-252).
+
+    loss_delta > 0 switches the objective to the Huber loss on the
+    per-pixel residual norm (IRLS weights w = min(1, δ/‖r‖) folded into
+    the masked sums; the per-pixel VarPro depth is weight-invariant).
+    The reference's Ceres loss hooks exist but are nullptr (plain L2,
+    src/nonlinearRefinement.cc:131-134) — 0.0 reproduces that.
 
     Args:
       coords, flow: (N, 2) normalized coordinates / γ-scaled flow.
@@ -130,12 +137,29 @@ def refine(
     """
     dt = coords.dtype
     m = mask.astype(dt)
+    delta = jnp.asarray(loss_delta, dt)
+    robust = loss_delta > 0.0
+
+    def _rho_loss(sq):
+        """Residual-norm loss: ‖r‖² (L2) or Huber(‖r‖)."""
+        if not robust:
+            return sq
+        nrm = jnp.sqrt(sq + 1e-24)
+        return jnp.where(nrm <= delta, sq, 2.0 * delta * nrm - delta * delta)
+
+    def _irls_w(sq):
+        """Lagged IRLS weight w = ρ'(‖r‖)/‖r‖ (1 inside the Huber knee)."""
+        if not robust:
+            return jnp.ones_like(sq)
+        nrm = jnp.sqrt(sq + 1e-24)
+        return jnp.minimum(jnp.ones_like(nrm), delta / nrm)
 
     def cost_fn(v, w, k, rho):
         beta = beta_factor(alpha, alpha_k, k)
         e = translational_flow(coords, v) * rho[..., None] + rotational_flow(coords, w)
         r = flow - beta[..., None] * e
-        return _psum(jnp.sum(m * jnp.sum(r * r, axis=-1)), axis_name)
+        return _psum(jnp.sum(m * _rho_loss(jnp.sum(r * r, axis=-1))),
+                     axis_name)
 
     k_keep = jnp.asarray(1.0 if optimize_k else 0.0, dt)
 
@@ -146,7 +170,13 @@ def refine(
         # Freeze k by zeroing its Jacobian column (δk solves to 0 below).
         j_theta = j_theta.at[..., 6].multiply(k_keep)
 
-        mw = m[..., None]
+        # Robust loss: fold the lagged IRLS weight into the pixel mask
+        # (GN on the weighted LS majorizer; Triggs-style second-order
+        # corrections are unnecessary at the Huber knee).  The x_aug Gram
+        # squares its row scaling, so it takes √(m·w) (m is 0/1); the
+        # single-factor sums take m·w directly.
+        m_eff = m * _irls_w(jnp.sum(r * r, axis=-1))
+        mw = jnp.sqrt(m_eff)[..., None]
         # One augmented Gram product gives JᵀJ, Jᵀr and rᵀr together:
         # X = [Jθ | r] masked, M = XᵀX ⇒ H = M[:7,:7], g = M[:7,7],
         # current cost = M[7,7].
@@ -159,10 +189,10 @@ def refine(
                           precision=jax.lax.Precision.HIGHEST)
         h_tt = _psum(gram[:7, :7], axis_name)
         g_t = _psum(gram[:7, 7], axis_name)
-        c_i = jnp.einsum("nri,nr->ni", j_theta, j_rho * mw,
+        c_i = jnp.einsum("nri,nr->ni", j_theta, j_rho * m_eff[..., None],
                          precision=jax.lax.Precision.HIGHEST)  # (N, 7)
-        d_i = jnp.sum(j_rho * j_rho, axis=-1) * m            # (N,)
-        g_rho = jnp.sum(j_rho * r, axis=-1) * m              # (N,)
+        d_i = jnp.sum(j_rho * j_rho, axis=-1) * m_eff        # (N,)
+        g_rho = jnp.sum(j_rho * r, axis=-1) * m_eff          # (N,)
 
         # LM damping on the diagonals (multiplicative, Marquardt-style).
         diag = jnp.diagonal(h_tt)

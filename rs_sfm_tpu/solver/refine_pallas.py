@@ -49,8 +49,12 @@ def refine_pallas(
     init_lambda: float = 1e-6,
     rel_tol: float = 1e-8,
     interpret: bool = False,
+    loss_delta: float = 0.0,
 ) -> RefineResult:
-    """Drop-in Pallas variant of solver.refine.refine (single device)."""
+    """Drop-in Pallas variant of solver.refine.refine (single device).
+
+    loss_delta > 0 enables the Huber-IRLS objective (see
+    solver/refine.py and refine_kernels._reduce_start)."""
     n = coords.shape[0]
     pad = (-n) % TILE
 
@@ -81,7 +85,8 @@ def refine_pallas(
 
     def body(carry):
         state, rho_prev, rho_cand = carry
-        return lm_iter(state, px, rho_prev, rho_cand, interpret=interpret)
+        return lm_iter(state, px, rho_prev, rho_cand, interpret=interpret,
+                       loss_delta=loss_delta)
 
     # iterations + 1 sweeps: the bootstrap evaluates the initial state; each
     # later sweep performs one accept decision + solve.
@@ -125,6 +130,7 @@ def refine_pallas_multi(
     rel_tol: float = 1e-8,
     interpret: bool = False,
     tile: int = None,
+    loss_delta: float = 0.0,
 ) -> RefineResult:
     """J-start batched Pallas refinement (multi-start, solver.pipeline).
 
@@ -177,7 +183,8 @@ def refine_pallas_multi(
     def body(carry):
         state, rho_prev, rho_cand = carry
         return lm_iter_multi(state, px, masks_f, rho_prev, rho_cand,
-                             interpret=interpret, tile=tile)
+                             interpret=interpret, tile=tile,
+                             loss_delta=loss_delta)
 
     init = (state, rho, rho)
     if rel_tol == 0.0:

@@ -46,6 +46,7 @@ def main():
     est_cfg = PipelineConfig(ransac_trials=256, ransac_tol=0.02,
                              refine_iterations=30, refine_starts=4,
                              refine_winnow_iters=8, refine_rel_tol=0.0,
+                             refine_loss_delta_px=3.0,
                              refine_engine="pallas", ransac_engine="pallas")
     outdir = os.path.join(REPO, "results", "flow_dump")
     os.makedirs(outdir, exist_ok=True)

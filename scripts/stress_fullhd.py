@@ -132,7 +132,8 @@ def phase_eval(args):
     est_cfg = PipelineConfig(ransac_trials=256, ransac_tol=0.02,
                              refine_iterations=30, refine_starts=4,
                              refine_winnow_iters=8, refine_rel_tol=0.0,
-                             depth_residual_px=2.0)
+                             depth_residual_px=2.0,
+                             refine_loss_delta_px=3.0)
 
     fb_fn = {}
 

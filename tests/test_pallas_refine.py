@@ -285,3 +285,36 @@ def test_pipeline_winnow_matches_full_multistart():
                                rtol=0, atol=2e-4)
     np.testing.assert_allclose(np.asarray(r_win.w), np.asarray(r_full.w),
                                rtol=0, atol=1e-5)
+
+
+def test_pallas_refine_huber_matches_xla():
+    """Huber-IRLS objective: the fused kernel must track the XLA engine
+    (same weights, same robust cost in the accept decisions)."""
+    coords, flow, alpha, alpha_k, v, w, rho, k_true = _problem(seed=9)
+    n = coords.shape[0]
+    # Structured outliers: a block of pixels with a coherent wrong flow.
+    flow = flow.at[:64].add(jnp.asarray([3e-3, -2e-3], jnp.float32))
+    mask = jnp.ones(n, dtype=bool)
+    v0 = v * 1.3
+    w0 = w * 0.7
+    k0 = jnp.float32(0.2)
+    rho0 = rho * 1.1
+    delta = 1e-3
+    a = refine(coords, flow, alpha, alpha_k, mask, v0, w0, k0, rho0,
+               optimize_k=True, iterations=25, loss_delta=delta)
+    b = refine_pallas(coords, flow, alpha, alpha_k, mask, v0, w0, k0,
+                      rho0, optimize_k=True, iterations=25,
+                      loss_delta=delta, interpret=True)
+    np.testing.assert_allclose(np.asarray(b.cost), np.asarray(a.cost),
+                               rtol=1e-3)
+    va = np.asarray(a.v) / np.linalg.norm(a.v)
+    vb = np.asarray(b.v) / np.linalg.norm(b.v)
+    np.testing.assert_allclose(np.abs(va @ vb), 1.0, atol=1e-5)
+    # And the robust fit must beat L2 on the outlier-contaminated set:
+    # compare against truth.
+    l2 = refine(coords, flow, alpha, alpha_k, mask, v0, w0, k0, rho0,
+                optimize_k=True, iterations=25)
+    vt = np.asarray(v) / np.linalg.norm(np.asarray(v))
+    ang = lambda x: np.arccos(np.clip(abs(
+        (np.asarray(x) / np.linalg.norm(np.asarray(x))) @ vt), 0, 1))
+    assert ang(a.v) <= ang(l2.v) + 1e-6, (ang(a.v), ang(l2.v))
