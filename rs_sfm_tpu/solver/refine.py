@@ -33,8 +33,7 @@ import jax.numpy as jnp
 
 from rs_sfm_tpu.ops import linalg
 from rs_sfm_tpu.solver.beta import beta_factor, beta_factor_dk
-from rs_sfm_tpu.solver.depth import (estimate_inverse_depth,
-                                     estimate_inverse_depth_info)
+from rs_sfm_tpu.solver.depth import estimate_inverse_depth_info
 from rs_sfm_tpu.solver.flow_model import rotational_flow, translational_flow
 
 

@@ -106,26 +106,26 @@ def _gate(pair_data, i2, preset, *, epe_med_max, err_v_max,
 
 def test_fullhd_clean_plain(fullhd_pair):
     """Clean full-HD: median EPE sub-pixel-ish, err_v well under the
-    0.05 rad gate (measured: 0.086 px / 0.040 rad); 3D error gated at the
-    VERDICT r4 bar (protocol mean 0.36 world units; gate 0.5) and depth
-    RMSE at 1.2 (protocol mean ~0.83)."""
+    gate (r4 protocol: 0.079 px / 0.0200 rad with the Huber-IRLS
+    refinement); err3d gated at 0.35 (protocol mean 0.149 — tighter than
+    the VERDICT bar of 0.5) and depth RMSE at 0.9 (protocol 0.49)."""
     _gate(fullhd_pair, fullhd_pair[2], "variational",
-          epe_med_max=0.3, err_v_max=0.06,
-          err3d_max=0.5, depth_rmse_max=1.2)
+          epe_med_max=0.3, err_v_max=0.04,
+          err3d_max=0.35, depth_rmse_max=0.9)
 
 
 def test_fullhd_photometric_robust(fullhd_pair):
     """Exposure x1.35 + vignette 0.35 + noise: the robust (LCN) preset
-    must hold the 0.15 rad gate (measured: ~2.6 px median / 0.127 rad),
-    err3d ≤ 1.5 world units (VERDICT r4 bar; protocol mean ~0.83-1.0 on
-    ~6.2 mean scene depth) and depth RMSE ≤ 3."""
+    must hold the 0.15 rad gate (r4 protocol: ~2.6 px median /
+    0.0948 rad), err3d ≤ 1.0 world units (protocol mean 0.450 — tighter
+    than the VERDICT bar of 1.5) and depth RMSE ≤ 2.2 (protocol 1.22)."""
     intr, i1, i2 = fullhd_pair[0], fullhd_pair[1], fullhd_pair[2]
     i2p = jnp.asarray(apply_photometric(
         i2, jax.random.PRNGKey(1), exposure=1.35, vignette=0.35,
         noise_sigma=0.005), jnp.float32)
     _gate(fullhd_pair, i2p, "robust",
-          epe_med_max=5.0, err_v_max=0.2,
-          err3d_max=1.5, depth_rmse_max=3.0)
+          epe_med_max=5.0, err_v_max=0.15,
+          err3d_max=1.0, depth_rmse_max=2.2)
 
 
 def test_auto_preset_selection(fullhd_pair):
