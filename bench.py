@@ -84,15 +84,17 @@ def main():
     intr = Intrinsics(fx=1803.3, fy=1799.4, cx=945.3, cy=544.7)
     gamma = 0.9
     cfg = PipelineConfig(ransac_trials=256, ransac_chunk=32,
-                         # 30 LM iterations: the VarPro refinement
+                         # 20 LM iterations: the VarPro refinement
                          # (solver/refine.py — depths re-eliminated in
                          # closed form each step) converges in ~10; the
-                         # JSON's refine_cost_rel_delta_30v50 field proves
-                         # the 30-iter cost equals the 50-iter cost on this
+                         # JSON's refine_cost_rel_delta field proves the
+                         # 20-iter cost equals the 50-iter cost on this
                          # problem each run (Ceres' own default max is 50,
                          # but it early-stops on function_tolerance, which
-                         # the static-trip TPU graph cannot).
-                         refine_iterations=30,
+                         # the static-trip TPU graph cannot).  Measured
+                         # bit-identical cost AND err_v at 20 vs 30 on all
+                         # three full-HD stress dumps.
+                         refine_iterations=20,
                          # Static trip count: the while_loop early-stop
                          # variant hung the remote TPU compiler; this is
                          # the proven-compilable configuration.
@@ -173,7 +175,7 @@ def main():
     # multi-start kernel (ops/pallas/refine_kernels.lm_iter_multi) makes
     # the aligned config affordable.
     est_cfg = PipelineConfig(ransac_trials=256, ransac_chunk=32,
-                             ransac_tol=0.02, refine_iterations=30,
+                             ransac_tol=0.02, refine_iterations=20,
                              refine_rel_tol=0.0, refine_starts=4,
                              refine_winnow_iters=8,
                              depth_residual_px=2.0,
@@ -223,7 +225,7 @@ def main():
         "value": round(e2e_pairs_per_s, 4),
         "unit": "frame-pairs/s (1920x1080 end-to-end: pyramidal dense flow "
                 "fwd + half-res bwd + FB occlusion + 256-hypothesis "
-                "Pallas RANSAC + batched 4-start winnowed 30-iter Pallas Schur-LM "
+                "Pallas RANSAC + batched 4-start winnowed 20-iter Pallas Schur-LM "
                 "+ packed24 rectify; the GATED production config — "
                 "tests/test_fullhd_flow.py EST_CFG)",
         "vs_baseline": round(e2e_pairs_per_s / (1.0 / 160.0), 1),
@@ -233,7 +235,7 @@ def main():
         "metric": "rs_sfm_fullhd_pairs_per_s_per_chip",
         "value": round(pairs_per_s, 4),
         "unit": "frame-pairs/s (1920x1080, 256-hypothesis Pallas-scored "
-                "RANSAC, every hypothesis on all pixels + 30-iter fused "
+                "RANSAC, every hypothesis on all pixels + 20-iter fused "
                 "Pallas Schur-LM refine (cost-identical to 50, see "
                 "refine_cost_rel_delta_30v50) + rectify; GT-flow path)",
         "vs_baseline": round(pairs_per_s / baseline_pairs_per_s, 1),

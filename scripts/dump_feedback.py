@@ -44,7 +44,7 @@ def main():
 
     intr = default_intrinsics(H, W)
     est_cfg = PipelineConfig(ransac_trials=256, ransac_tol=0.02,
-                             refine_iterations=30, refine_starts=4,
+                             refine_iterations=20, refine_starts=4,
                              refine_winnow_iters=8, refine_rel_tol=0.0,
                              refine_loss_delta_px=3.0,
                              refine_engine="pallas", ransac_engine="pallas")

@@ -130,7 +130,7 @@ def phase_eval(args):
     # tolerances let photoconsistent smear regions out-vote it — measured,
     # STRESS.md), multi-start refinement.
     est_cfg = PipelineConfig(ransac_trials=256, ransac_tol=0.02,
-                             refine_iterations=30, refine_starts=4,
+                             refine_iterations=20, refine_starts=4,
                              refine_winnow_iters=8, refine_rel_tol=0.0,
                              depth_residual_px=2.0,
                              refine_loss_delta_px=3.0)

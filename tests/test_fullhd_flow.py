@@ -38,7 +38,7 @@ W_TRUE = np.array([0.003, -0.002, 0.004])
 # iterations, then the vote winner alone (validated equivalent to the
 # full 4x30 schedule at these gates).
 EST_CFG = PipelineConfig(ransac_trials=256, ransac_tol=0.02,
-                         refine_iterations=30, refine_starts=4,
+                         refine_iterations=20, refine_starts=4,
                          refine_winnow_iters=8, refine_rel_tol=0.0,
                          depth_residual_px=2.0,
                          refine_loss_delta_px=3.0)
