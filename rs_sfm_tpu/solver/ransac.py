@@ -315,13 +315,23 @@ def ransac(
         n_total = n * jax.lax.psum(1, axis_name)
     nums = jnp.where(valid_h, nums, -1)
 
-    # Lexicographic (num desc, err asc) via composite score; error sums are
-    # bounded by N·tol so the integer part dominates.  Ties keep the earliest
-    # trial, like the reference's strict comparisons (src/minimal.cc:278).
+    # Lexicographic (num desc, err asc).  The best-trial pick is EXACT
+    # two-stage (max count, then min error among count winners): a single
+    # f32 composite (num*big - err) cannot resolve error differences
+    # below ~2^-24 of its ~1e10 magnitude at full-HD vote counts, which
+    # made equal-count ties effectively arbitrary (measured as residual
+    # seed-bimodal protocol evaluations; same fix as the multi-start
+    # selection in solver/pipeline.py).  The composite score is kept only
+    # where a full ORDERING is needed (top-J diversity scan below and the
+    # prescore shortlist), where per-trial count differences dominate.
+    # Ties keep the earliest trial, like the reference's strict
+    # comparisons (src/minimal.cc:278).
     big = jnp.asarray(n_total * tolerance + 1.0, ierrs.dtype)
     score = nums.astype(ierrs.dtype) * big - jnp.where(
         jnp.isfinite(ierrs), ierrs, big)
-    best = jnp.argmax(score)
+    err_clean = jnp.where(jnp.isfinite(ierrs), ierrs, jnp.inf)
+    best_num = jnp.max(nums)
+    best = jnp.argmin(jnp.where(nums == best_num, err_clean, jnp.inf))
 
     v_b, w_b, k_b = v_all[best], w_all[best], k_all[best]
     num_b, ierr_b, rho_b, inlier_b = _score_hypotheses(
