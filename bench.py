@@ -237,14 +237,14 @@ def main():
         "unit": "frame-pairs/s (1920x1080, 256-hypothesis Pallas-scored "
                 "RANSAC, every hypothesis on all pixels + 20-iter fused "
                 "Pallas Schur-LM refine (cost-identical to 50, see "
-                "refine_cost_rel_delta_30v50) + rectify; GT-flow path)",
+                "refine_cost_rel_delta_vs50) + rectify; GT-flow path)",
         "vs_baseline": round(pairs_per_s / baseline_pairs_per_s, 1),
         # Analytic roofline accounting (see pipeline_flops_bytes):
         "mfu": round(flops * pairs_per_s / PEAK_FLOPS, 4),
         "hbm_frac": round(bytes_ * pairs_per_s / PEAK_HBM_BPS, 4),
         "model_gflop_per_pair": round(flops / 1e9, 1),
         "model_gb_per_pair": round(bytes_ / 1e9, 2),
-        "refine_cost_rel_delta_30v50": round(cost_delta, 9),
+        "refine_cost_rel_delta_vs50": round(cost_delta, 9),
         "e2e_pairs_per_s": round(e2e_pairs_per_s, 4),
     }
     print(json.dumps(result))
