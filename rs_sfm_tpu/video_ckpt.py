@@ -44,6 +44,47 @@ def _to_host(tree):
     return jax.tree_util.tree_map(np.asarray, tree)
 
 
+def recompute_depth_maps(flows, video: VideoResult, intr: Intrinsics,
+                         gamma, cfg: PipelineConfig) -> np.ndarray:
+    """Reconstruct per-pair depth maps from stored motions + flow.
+
+    Depth is CLOSED-FORM given (flow, v, w, k) — the per-pixel residual is
+    linear in inverse depth — so motions are the only state a video
+    checkpoint needs (see process_video_checkpointed(save_depth=False)):
+    the depth maps of restored windows are reproduced exactly (same
+    inlier/validity masking and tight-consensus gating as the pipeline's
+    raster) at ~the cost of one RANSAC scoring pass.
+    """
+    from rs_sfm_tpu.solver.depth import estimate_inverse_depth
+    from rs_sfm_tpu.solver.flow_model import predict_flow
+    from rs_sfm_tpu.solver.pipeline import prepare_flow_inputs
+
+    @jax.jit
+    def one(flow_px, v, w, k):
+        h, w_cols = flow_px.shape[:2]
+        coords, flow_n, alpha, alpha_k, valid = prepare_flow_inputs(
+            flow_px, intr, gamma, cfg)
+        rho = estimate_inverse_depth(coords, flow_n, v, w, k, alpha,
+                                     alpha_k)
+        u_est = predict_flow(coords, rho, v, w, k, alpha, alpha_k)
+        err = jnp.linalg.norm(u_est - flow_n, axis=-1)
+        sel = valid & (err < cfg.ransac_tol) & jnp.isfinite(err)
+        if cfg.depth_residual_px > 0.0:
+            fmean = jnp.sqrt(jnp.asarray(intr.fx * intr.fy, coords.dtype))
+            sel = sel & (err * fmean <= cfg.depth_residual_px)
+        safe = jnp.where(rho == 0.0, jnp.ones_like(rho), rho)
+        z = jnp.where(sel & (rho != 0.0), 1.0 / safe, 0.0)
+        return z.reshape(h, w_cols)
+
+    out = []
+    for i in range(np.asarray(video.v).shape[0]):
+        out.append(np.asarray(one(jnp.asarray(flows[i]),
+                                  jnp.asarray(video.v[i]),
+                                  jnp.asarray(video.w[i]),
+                                  jnp.asarray(video.k[i]))))
+    return np.stack(out)
+
+
 def process_video_checkpointed(
     flows,
     intr: Intrinsics,
@@ -54,6 +95,7 @@ def process_video_checkpointed(
     ckpt_dir: str,
     window: int = 8,
     min_inliers: int = 32,
+    save_depth: bool = True,
     on_window: Optional[Callable[[int, VideoResult], None]] = None,
 ) -> VideoResult:
     """Estimate all pairs of a long sequence with per-window checkpoints.
@@ -66,6 +108,13 @@ def process_video_checkpointed(
         restored instead of recomputed (resume-after-crash contract).
       window: pairs per window (static; last window padded + masked).
       min_inliers: fault-isolation threshold per pair.
+      save_depth: include per-pair depth maps in each checkpoint.  At
+        full-HD a depth map is 8.3 MB/pair and checkpoint WRITES dominate
+        wall-clock 30:1 over device compute (TPU_VALIDATION.md §5);
+        motions are the only state RESUME needs (depth is closed-form
+        from flow + motion — recompute_depth_maps reproduces it exactly),
+        so False shrinks checkpoints from ~MB/pair to ~KB/pair.  Restored
+        windows then carry zero depth maps in the returned result.
       on_window: optional callback(window_index, window_result).
 
     Returns:
@@ -119,8 +168,14 @@ def process_video_checkpointed(
         hi = min(lo + window, p)
         if wi in saved:
             restored = mgr.restore(wi)
-            res = VideoResult(**{k: np.asarray(v)
-                                 for k, v in restored.items()})
+            tree = {k: np.asarray(v) for k, v in restored.items()}
+            if "depth_maps" not in tree:
+                # save_depth=False checkpoints: motions only; depth is
+                # reproducible via recompute_depth_maps.
+                n_here = tree["v"].shape[0]
+                tree["depth_maps"] = np.zeros(
+                    (n_here,) + flows_np.shape[1:3], flows_np.dtype)
+            res = VideoResult(**tree)
         else:
             out = inflight.pop(wi, None)
             if out is None:
@@ -131,7 +186,11 @@ def process_video_checkpointed(
                 inflight[nxt] = dispatch(nxt)
             res = VideoResult(*_to_host(out))
             res = VideoResult(*[v[: hi - lo] for v in res])
-            mgr.save(wi, args=ocp.args.StandardSave(res._asdict()))
+            payload = res._asdict()
+            if not save_depth:
+                payload = {k: v for k, v in payload.items()
+                           if k != "depth_maps"}
+            mgr.save(wi, args=ocp.args.StandardSave(payload))
         res = VideoResult(*[v[: hi - lo] for v in res])
         if on_window is not None:
             on_window(wi, res)

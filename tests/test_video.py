@@ -142,3 +142,42 @@ def test_video_checkpoint_partial_resume(tmp_path):
     assert seen == [0, 1]
     assert res.v.shape == (4, 3)
     assert bool(res.ok.all())
+
+
+def test_video_checkpoint_motions_only(tmp_path):
+    """save_depth=False: checkpoints carry motions only (orders of
+    magnitude smaller), restore fills zero depth maps, and
+    recompute_depth_maps reproduces the original depths EXACTLY from
+    flow + stored motion (depth is closed-form given both)."""
+    from rs_sfm_tpu.video_ckpt import (process_video_checkpointed,
+                                       recompute_depth_maps)
+
+    flows, intr = _flows(4)
+    cfg = PipelineConfig(ransac_trials=32, ransac_tol=0.01,
+                         refine_iterations=10)
+    full = tmp_path / "full"
+    lean = tmp_path / "lean"
+    res_full = process_video_checkpointed(
+        flows, intr, GAMMA, cfg, jax.random.PRNGKey(0),
+        ckpt_dir=str(full), window=2, save_depth=True)
+    res_lean = process_video_checkpointed(
+        flows, intr, GAMMA, cfg, jax.random.PRNGKey(0),
+        ckpt_dir=str(lean), window=2, save_depth=False)
+    np.testing.assert_allclose(np.asarray(res_lean.v),
+                               np.asarray(res_full.v))
+
+    def du(p):
+        return sum(f.stat().st_size for f in p.rglob("*") if f.is_file())
+
+    assert du(lean) < 0.2 * du(full), (du(lean), du(full))
+
+    # Resume from the lean checkpoints: depth comes back as zeros, then
+    # recompute reproduces the full run's maps.
+    res3 = process_video_checkpointed(
+        flows, intr, GAMMA, cfg, jax.random.PRNGKey(0),
+        ckpt_dir=str(lean), window=2, save_depth=False)
+    assert float(np.abs(res3.depth_maps).sum()) == 0.0
+    depths = recompute_depth_maps(np.asarray(flows), res3, intr, GAMMA,
+                                  cfg)
+    np.testing.assert_allclose(depths, np.asarray(res_full.depth_maps),
+                               rtol=1e-5, atol=1e-5)
