@@ -170,7 +170,8 @@ def main():
                                backward_scale=2)
     # The e2e benched configuration IS the gated configuration
     # (tests/test_fullhd_flow.py EST_CFG + the STRESS.md protocol):
-    # 256 trials, tol 0.02, refine_starts=4, 30 LM iterations.  r3 benched
+    # 256 trials, tol 0.02, refine_starts=4 winnow 8, 20 Huber-LM
+    # iterations (delta 3 px), depth_residual 2 px.  r3 benched
     # 2 starts while the gates used 4 (VERDICT r3 weak #3); the batched
     # multi-start kernel (ops/pallas/refine_kernels.lm_iter_multi) makes
     # the aligned config affordable.

@@ -118,7 +118,7 @@ def cmd_single_run(args):
     from rs_sfm_tpu.geom.rspose import scanline_poses
     from rs_sfm_tpu.rectify.backproject import backproject
     from rs_sfm_tpu.rectify.crackfill import fill_cracks
-    from rs_sfm_tpu.solver.pipeline import estimate_from_flow
+    from rs_sfm_tpu.solver.pipeline import estimate_with_feedback
 
     dtype = jnp.float64 if args.x64 else jnp.float32
     if args.camera:
@@ -167,25 +167,17 @@ def cmd_single_run(args):
     else:
         flow_px = compute_flow(pair, use_flow, dtype=dtype,
                                flow_cfg=flow_cfg)
-    res = estimate_from_flow(flow_px, pair.intrinsics, gamma, cfg,
-                             jax.random.PRNGKey(args.seed),
-                             pixel_mask=pixel_mask)
     if use_flow and args.model_feedback:
-        # Model-feedback pass (flow/feedback.py): tight-consensus +
-        # depth-coherence outliers extend the mask; re-estimate on the
-        # trusted set (measured: err_v 0.127 -> 0.104 on the photometric
-        # full-HD stress scene).
-        from rs_sfm_tpu.flow.feedback import model_feedback
+        # Model-feedback pass(es) (flow/feedback.py, promoted to the
+        # config in r5): tight-consensus + depth-coherence outliers
+        # extend the mask; the re-estimation runs per
+        # cfg.feedback_mode (measured r4: err_v 0.127 -> 0.104 on the
+        # photometric full-HD stress scene).
+        import dataclasses
 
-        fbk = model_feedback(flow_px, (~pixel_mask if pixel_mask is not None
-                                       else jnp.zeros(flow_px.shape[:2],
-                                                      bool)),
-                             res, pair.intrinsics, gamma, cfg)
-        print(f"model-feedback untrusted: {float(fbk.occlusion.mean()):.1%}")
-        pixel_mask = ~fbk.occlusion
-        res = estimate_from_flow(flow_px, pair.intrinsics, gamma, cfg,
-                                 jax.random.fold_in(
-                                     jax.random.PRNGKey(args.seed), 1),
+        cfg = dataclasses.replace(cfg, feedback_passes=1)
+    res = estimate_with_feedback(flow_px, pair.intrinsics, gamma, cfg,
+                                 jax.random.PRNGKey(args.seed),
                                  pixel_mask=pixel_mask)
     print("num_inliers:", int(res.num_inliers))
     print("w:", np.asarray(res.w))

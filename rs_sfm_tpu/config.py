@@ -142,6 +142,27 @@ class PipelineConfig:
     # fits within this many pixels; pose estimation is unaffected.
     # Deliberate, flag-gated divergence (README "Documented divergences").
     depth_residual_px: float = 0.0
+    # Model-feedback passes (solver.pipeline.estimate_with_feedback;
+    # flow/feedback.py): after the first estimation, extend the untrusted
+    # mask by tight-consensus + depth-coherence + RANSAC outliers against
+    # the estimated rigid model, then re-estimate on the trusted set.
+    # The one measured lever on the photo/stress err_v frontier
+    # (0.127 -> 0.104 pre-Huber, STRESS.md r4); promoted from the r4
+    # CLI-only --model-feedback flag into the gated production config
+    # (VERDICT r4 item 2).  0 = off (single pass).
+    feedback_passes: int = 0
+    # Tight-consensus residual tolerance (pixels) for the feedback
+    # untrusted-mask extension (flow/feedback.py residual_tol_px).
+    feedback_residual_tol_px: float = 2.0
+    # How the feedback re-estimation runs:
+    #   "refine" — warm-start from the first-pass model: re-score the
+    #     trusted set and re-run the Huber-LM refinement only (no second
+    #     RANSAC / multi-start; ~1 refinement of marginal cost).  The
+    #     mask-bias removal is the lever, and LM re-converges in the same
+    #     basin the multi-start selection already picked.
+    #   "full" — complete re-estimation (RANSAC + multi-start) on the
+    #     trusted mask with a fresh key (the r4 CLI behavior).
+    feedback_mode: str = "refine"
     # Fix of the reference's f_x-for-y projection bug (src/rsframe.cc:639).
     # True  -> use f_y for the y coordinate (correct pinhole model).
     # False -> replicate reference behavior bit-for-bit.

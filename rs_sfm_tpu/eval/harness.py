@@ -28,7 +28,7 @@ from rs_sfm_tpu.eval.metrics import (depth_rmse, mean_reprojection_error,
 from rs_sfm_tpu.flow.true_flow import true_flow
 from rs_sfm_tpu.geom.rspose import scanline_poses
 from rs_sfm_tpu.rectify.backproject import backproject
-from rs_sfm_tpu.solver.pipeline import estimate_from_flow
+from rs_sfm_tpu.solver.pipeline import estimate_with_feedback
 
 import functools
 
@@ -38,9 +38,11 @@ import functools
 def _estimate_jit(flow_px, intr, gamma, cfg, key, pixel_mask=None,
                   has_mask=False):
     """Jitted pipeline (intrinsics/config are hashable frozen dataclasses);
-    compiled once per (shape, config) across evaluations and sweep tasks."""
-    return estimate_from_flow(flow_px, intr, gamma, cfg, key,
-                              pixel_mask=pixel_mask if has_mask else None)
+    compiled once per (shape, config) across evaluations and sweep tasks.
+    Runs the model-feedback passes when cfg.feedback_passes > 0."""
+    return estimate_with_feedback(flow_px, intr, gamma, cfg, key,
+                                  pixel_mask=pixel_mask if has_mask
+                                  else None)
 
 
 class VelocityErrors(NamedTuple):
@@ -105,8 +107,9 @@ def _evaluate_batched_jit(flow_px, rs_image, true_depth, poses_r, poses_t,
     h = flow_px.shape[0]
 
     def one(key):
-        res = estimate_from_flow(flow_px, intr, gamma, cfg, key,
-                                 pixel_mask=pixel_mask if has_mask else None)
+        res = estimate_with_feedback(
+            flow_px, intr, gamma, cfg, key,
+            pixel_mask=pixel_mask if has_mask else None)
         r_sl, t_sl = scanline_poses(res.v, res.w, res.k, h, gamma,
                                     dtype=dtype)
         rect = backproject(rs_image, res.depth_map, r_sl, t_sl, intr)

@@ -75,9 +75,10 @@ def mean_reprojection_error(
           distribution is heavy-tailed (Z = 1/ρ with symmetric ρ noise)
           and the mean is biased — measured to dominate the production
           path's 3D error (scripts/err3d_decompose.py, STRESS.md r4).
-        "ls" — the least-squares gauge: s* = Σ⟨e, t⟩ / Σ⟨e, e⟩ over the
-          same accepted entries, minimizing Σ‖e/s − t‖² ≈ robustly since
-          inner products average out the heavy tail.  Deliberate
+        "ls" — the least-squares gauge: s* = Σ⟨e, t⟩ / Σ⟨t, t⟩ over the
+          same accepted entries — the LS fit of e ≈ s·t (minimizing
+          Σ‖e − s·t‖²; error is then evaluated as ‖e/s − t‖).  Robust in
+          practice since inner products average out the heavy tail.  Deliberate
           divergence (flag-gated; the reference-exact estimator remains
           the default for parity runs).
 

@@ -328,18 +328,27 @@ def _decide_and_solve_start(sget, accj, accs, acc_row, lane_row,
     cost_prev = sget(_S_COST)
     rel_tol = sget(_S_RELTOL)
     cost_cand = sums_cand[35]
-    acc_ok = (cost_cand < cost_prev) & (cost_cand == cost_cand)
+    # A start whose done flag is already set is FROZEN: no further
+    # accepts, lambda held.  Under rel_tol>0 the multi-start while_loop
+    # runs until ALL starts converge; without the freeze an
+    # already-converged start would keep stepping, diverging from the
+    # single-start semantics (whose loop exits on done).
+    was_done = sget(_S_DONE) > 0.5
+    acc_ok = ((cost_cand < cost_prev) & (cost_cand == cost_cand)
+              & ~was_done)
     prev_finite = jnp.abs(cost_prev) < jnp.float32(3.0e38)
     conv = acc_ok & prev_finite & (
         cost_prev - cost_cand <= rel_tol * cost_prev)
-    done = (sget(_S_DONE) > 0.5) | conv
+    done = was_done | conv
 
     sums = [jnp.where(acc_ok, sums_cand[j], sget(_S_SUMS + j))
             for j in range(_N_SUMS)]
     theta = [jnp.where(acc_ok, sget(_S_CAND + t),
                        sget(_S_THETA + t)) for t in range(7)]
     cost = jnp.where(acc_ok, cost_cand, cost_prev)
-    lam_new = jnp.where(acc_ok, jnp.maximum(lam / 3.0, 1e-12), lam * 4.0)
+    lam_new = jnp.where(was_done, lam,
+                        jnp.where(acc_ok, jnp.maximum(lam / 3.0, 1e-12),
+                                  lam * 4.0))
 
     s = 1.0 / (1.0 + lam_new)
     h = [[None] * 7 for _ in range(7)]

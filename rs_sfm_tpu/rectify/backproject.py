@@ -143,7 +143,8 @@ def backproject(image, depth_map, poses_r, poses_t, intr: Intrinsics,
 
     if method == "packed24":
         # Gather-free: the color rides inside the scatter-min key.
-        # key = qd(7 bits) << 24 | r << 16 | g << 8 | b  (max 0x7FFFFFFE).
+        # key = qd(7 bits) << 24 | r << 16 | g << 8 | b, clamped to
+        # 0x7FFFFFFE so no live key collides with the 0x7FFFFFFF sentinel.
         if jnp.issubdtype(image.dtype, jnp.floating):
             c8 = jnp.clip(jnp.round(colors * 255.0), 0, 255).astype(
                 jnp.int32)
@@ -159,8 +160,12 @@ def backproject(image, depth_map, poses_r, poses_t, intr: Intrinsics,
         qd = jnp.clip(((dvals - dmin) / span * (levels - 1)).astype(
             jnp.int32), 0, levels - 1)
         sentinel = jnp.int32(2 ** 31 - 1)
+        # qd=127 with pure-white color packs to exactly 0x7FFFFFFF == the
+        # sentinel, which would mark the pixel unscattered; clamp to
+        # sentinel-1 (perturbs only the blue LSB of that one combo).
         packed = jnp.where(finite & (flat_idx < n),
-                           (qd << 24) | color24, sentinel)
+                           jnp.minimum((qd << 24) | color24, sentinel - 1),
+                           sentinel)
         buf = jnp.full((n + 1,), sentinel, dtype=jnp.int32)
         buf = buf.at[flat_idx].min(packed)[:n]
         hit = buf != sentinel

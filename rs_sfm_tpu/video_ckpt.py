@@ -51,9 +51,11 @@ def recompute_depth_maps(flows, video: VideoResult, intr: Intrinsics,
     Depth is CLOSED-FORM given (flow, v, w, k) — the per-pixel residual is
     linear in inverse depth — so motions are the only state a video
     checkpoint needs (see process_video_checkpointed(save_depth=False)):
-    the depth maps of restored windows are reproduced exactly (same
-    inlier/validity masking and tight-consensus gating as the pipeline's
-    raster) at ~the cost of one RANSAC scoring pass.
+    the depth maps of restored windows are reproduced exactly at ~the cost
+    of one RANSAC scoring pass.  Exactness holds for EVERY refine_starts:
+    since r5 the pipeline's export is uniformly "closed-form ρ at the
+    final model, re-scored inlier mask, tight-consensus gate"
+    (solver/pipeline.py), which is precisely what this function computes.
     """
     from rs_sfm_tpu.solver.depth import estimate_inverse_depth
     from rs_sfm_tpu.solver.flow_model import predict_flow

@@ -82,3 +82,49 @@ def test_feedback_recovers_corrupted_band():
     assert epe_after[band].mean() < 1.0, epe_after[band].mean()
     # Untouched pixels keep their flow.
     assert epe_after[~band].max() < 0.3
+
+
+def test_estimate_with_feedback_config_pass():
+    """cfg.feedback_passes (r5, VERDICT item 2): the config-level feedback
+    pass must (a) equal the single pass when 0, (b) tighten the motion
+    estimate on the corrupted-band scene in BOTH re-estimation modes, and
+    (c) keep the warm-start "refine" mode's jit path working."""
+    from rs_sfm_tpu.eval.metrics import translation_error
+    from rs_sfm_tpu.solver.pipeline import estimate_with_feedback
+
+    rng = np.random.default_rng(5)
+    v = jnp.asarray([0.03, -0.01, 0.02], jnp.float32)
+    w = jnp.asarray([0.002, -0.001, 0.003], jnp.float32)
+    base = rng.uniform(4.0, 8.0, (H // 8 + 1, W // 8 + 1))
+    depth = jnp.asarray(
+        np.kron(base, np.ones((8, 8)))[:H, :W], jnp.float32)
+    intr, gt = _gt_flow(v, w, depth)
+    band = np.zeros((H, W), bool)
+    band[:, 40:56] = True
+    corrupted = np.asarray(gt).copy()
+    corrupted[band] += np.asarray([6.0, -3.0], np.float32)
+    corrupted = jnp.asarray(corrupted)
+
+    base_cfg = dict(ransac_trials=64, ransac_tol=0.01,
+                    refine_iterations=20, refine_starts=2,
+                    refine_loss_delta_px=3.0)
+    cfg0 = PipelineConfig(**base_cfg)
+    key = jax.random.PRNGKey(0)
+    res0 = estimate_with_feedback(corrupted, intr, GAMMA, cfg0, key)
+    res0_direct = estimate_from_flow(corrupted, intr, GAMMA, cfg0, key)
+    np.testing.assert_array_equal(np.asarray(res0.v),
+                                  np.asarray(res0_direct.v))
+
+    err0 = float(translation_error(res0.v, v))
+    for mode in ("refine", "full"):
+        cfg1 = PipelineConfig(**base_cfg, feedback_passes=1,
+                              feedback_mode=mode)
+        res1 = jax.jit(
+            lambda f, k, c=cfg1: estimate_with_feedback(
+                f, intr, GAMMA, c, k))(corrupted, key)
+        err1 = float(translation_error(res1.v, v))
+        # The corrupted band biases the first pass; the feedback pass
+        # excludes it and must not be worse (and is measurably better
+        # when the first-pass error is non-trivial).
+        assert err1 <= err0 + 1e-4, (mode, err0, err1)
+        assert err1 < 0.02, (mode, err1)

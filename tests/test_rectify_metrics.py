@@ -203,3 +203,31 @@ def test_backproject_packed24_uint8_exact():
     # Identity pose: every pixel maps to itself, colors must round-trip
     # exactly through the packed key.
     np.testing.assert_array_equal(np.asarray(a.gs_image)[sc], img[sc])
+
+
+def test_backproject_packed24_white_far_pixels():
+    """Advisor r4 HIGH regression: a saturated-white pixel in the farthest
+    quantized-depth bin packs to (127<<24)|0xFFFFFF == the 0x7FFFFFFF
+    scatter sentinel; without the sentinel clamp those pixels were
+    silently dropped from the rectified image and valid mask (a white
+    32x32 image lost 1023/1024 scattered pixels vs the scatter engine)."""
+    h = w = 32
+    img = np.full((h, w, 3), 255, np.uint8)
+    rng = np.random.default_rng(1)
+    depth = jnp.asarray(4.0 + rng.uniform(0, 1, (h, w)), jnp.float32)
+    intr_s = type(_pair()[1])(fx=40.0, fy=40.0, cx=16.0, cy=16.0)
+    r = jnp.tile(jnp.eye(3, dtype=jnp.float32)[None], (h, 1, 1))
+    t = jnp.zeros((h, 3), jnp.float32)
+    a = backproject(jnp.asarray(img), depth, r, t, intr_s,
+                    method="packed24")
+    b = backproject(jnp.asarray(img), depth, r, t, intr_s,
+                    method="scatter")
+    np.testing.assert_array_equal(np.asarray(a.scattered),
+                                  np.asarray(b.scattered))
+    sc = np.asarray(a.scattered)
+    assert sc.all()
+    # The clamp may perturb the blue LSB of the one colliding combo only;
+    # every other channel value must round-trip exactly.
+    out = np.asarray(a.gs_image)
+    assert (out[..., :2][sc] == 255).all()
+    assert (out[..., 2][sc] >= 254).all()
