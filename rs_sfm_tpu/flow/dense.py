@@ -166,6 +166,29 @@ class DenseFlowConfig(NamedTuple):
     # leaves the mask quality essentially unchanged (measured:
     # results/stress_fullhd.json occ stats).
     backward_scale: int = 1
+    # Warp-local search realization (r5):
+    #   True — "shifted" mode: warp I2 by the incoming flow ONCE, then
+    #     build the full (2r+1)^2 cost volume from INTEGER SHIFTS of the
+    #     warped plane — one batched computation, no per-candidate warp
+    #     or scan step.  Approximation: candidate d's cost is evaluated
+    #     through flow(x+d) instead of flow(x) (DIS-style propagation
+    #     semantics); where flow is smooth — everywhere after the coarse
+    #     lock — the two coincide.  Where the incoming flow is ROUGH
+    #     (e.g. brightness constancy wrecked by nonlinear illumination,
+    #     the census preset's regime) the approximation evaluates
+    #     near-random candidates — measured 2.3 -> 7.5 px median EPE on
+    #     the vignette+gamma probe — so the default stays exact and the
+    #     smooth-flow production presets opt in (models/__init__.py).
+    #   False — r4 exact mode (default): re-warp I2 at every candidate.
+    refine_shifted: bool = False
+    # Anchored pass (flow/relock.py pass 1): ZERO the variational data
+    # term at discrete-ambiguous pixels, so their flow is pure smoothness
+    # interpolation from the unambiguous anchors instead of a wrong-lock
+    # measurement.  On periodic texture the wrong lock otherwise DRAGS
+    # the neighboring unambiguous pixels through the smoothness coupling
+    # (measured on reptex: anchor purity 19% with the ambiguity mask
+    # alone — the contamination, not the mask, is the blocker).
+    anchor_ambiguous: bool = False
 
 
 def _to_gray(img):
@@ -377,130 +400,191 @@ def _median_flow(flow, cfg):
                      axis=-1)
 
 
-def _coarse_init(i1, i2, radius: int, cfg=None):
+def _box5(x):
+    for axis in (x.ndim - 2, x.ndim - 1):
+        x = (_shift(x, -2, axis) + _shift(x, -1, axis) + x
+             + _shift(x, 1, axis) + _shift(x, 2, axis))
+    return x
+
+
+def _match_planes(i1, i2, cfg):
+    """Preprocessing for the discrete matching stages: locally
+    mean-removed (offset robust at the level's scale, and immune to
+    struct-texture high-pass leaving no coarse content); under
+    gain_correct contrast-normalized too (NCC-like — multiplicative gain
+    cancels from the match cost)."""
+    if cfg is not None and cfg.gain_correct:
+        return _local_contrast_norm(i1, 0.05), _local_contrast_norm(i2, 0.05)
+    return i1 - _gauss_blur(i1), i2 - _gauss_blur(i2)
+
+
+# Ambiguity threshold for the EXPORTED mask (independent of the
+# match_ratio selection knob): a best match that fails to beat its
+# closest >=2 px alternative by 10% carries no lock information — on
+# strictly periodic texture every period shift ties (cost ratio -> 1).
+_AMB_RATIO = 0.9
+# Prior tie-break strength (see `prior` in dense_flow_aux): multiplies
+# the match cost by up to (1 + _PRIOR_W) at candidates far from the
+# prior.  Small enough that a photometrically confident match (ratio
+# test < 0.9) always survives; large enough to decide exact ties.
+_PRIOR_W = 0.35
+
+
+def _prior_factor(d2, radius, dtype):
+    s2 = jnp.asarray(float(max(radius, 1)) ** 2, dtype)
+    return 1.0 + _PRIOR_W * d2 / (d2 + s2)
+
+
+def _match_scan(i1, cost_of, cand_of, side, *, prior=None, radius=1,
+                ratio=0.0, fallback=None):
+    """Shared (2r+1)^2 scan: track (best, second>=2px-away, ambiguity).
+
+    cost_of(dy, dx) -> (H, W) raw match cost of integer offset (dy, dx)
+    (0-based grid); cand_of(dy, dx) -> (H, W, 2) the candidate flow.
+    prior: optional (H, W, 2) flow whose distance tie-breaks via a
+    multiplicative penalty on the SELECTION cost (raw costs keep feeding
+    the second/ambiguity bookkeeping).  ratio/fallback: match_ratio
+    rejection (ignored when prior is given — the prior already
+    disambiguates, and dropping to the fallback is what re-locks wrong).
+    Returns (best_flow (H,W,2), second_flow (H,W,2), ambiguous (H,W)).
+    The second flow is the best >=2 px-away ALTERNATIVE lock — on
+    periodic texture (best − second) is ±one image-space period vector,
+    the input to the global disambiguation (flow/relock.py).
+    """
+    dys = jnp.repeat(jnp.arange(side), side)
+    dxs = jnp.tile(jnp.arange(side), side)
+
+    def body(carry, off):
+        best_sel, best_cost, second_cost, best, second = carry
+        dy, dx = off
+        cost = cost_of(dy, dx)
+        cand = cand_of(dy, dx)
+        if prior is not None:
+            diff = cand - prior
+            d2 = diff[..., 0] ** 2 + diff[..., 1] ** 2
+            sel = cost * _prior_factor(d2, radius, cost.dtype)
+        else:
+            sel = cost
+        better = sel < best_sel
+        # Ambiguity bookkeeping: best alternative >=2 px from the current
+        # best; a dethroned best becomes the second when far enough from
+        # the new winner.  Raw costs — the prior must not mask ambiguity.
+        far = (jnp.abs(cand - best).max(axis=-1) > 1.5)
+        to_second = better & far                  # dethroned best
+        new_second = ~better & far & (cost < second_cost)
+        second_cost = jnp.where(
+            better, jnp.where(far, best_cost, second_cost),
+            jnp.where(new_second, cost, second_cost))
+        second = jnp.where(to_second[..., None], best,
+                           jnp.where(new_second[..., None], cand, second))
+        best_cost = jnp.where(better, cost, best_cost)
+        best_sel = jnp.where(better, sel, best_sel)
+        best = jnp.where(better[..., None], cand, best)
+        return (best_sel, best_cost, second_cost, best, second), None
+
+    shape = i1.shape
+    inf = jnp.full(shape, jnp.inf, i1.dtype)
+    init = (inf, inf, inf, jnp.zeros(shape + (2,), i1.dtype),
+            jnp.zeros(shape + (2,), i1.dtype))
+    (_, best_cost, second_cost, best, second), _ = jax.lax.scan(
+        body, init, (dys, dxs))
+    amb = best_cost >= _AMB_RATIO * second_cost
+    if ratio > 0.0 and prior is None and fallback is not None:
+        ok = best_cost < ratio * second_cost
+        best = jnp.where(ok[..., None], best, fallback)
+    return best, second, amb
+
+
+def _coarse_init(i1, i2, radius: int, cfg=None, prior=None):
     """Exhaustive integer-displacement search at the coarsest level.
 
     For every pixel, pick the displacement in [−radius, radius]² minimizing
     the 5x5 box-filtered squared difference — the TPU-native stand-in for
-    DeepFlow's matching term (dense HOG matches): a static (2r+1)² loop of
-    rolls and elementwise ops.
+    DeepFlow's matching term (dense HOG matches).  Scanned over offsets
+    (an unrolled loop of static rolls makes XLA compile times explode);
+    the shifted window comes from a dynamic slice of the edge-padded
+    image.  Returns (flow, ambiguous).
     """
-
-    def box5(x):
-        for axis in (0, 1):
-            x = (_shift(x, -2, axis) + _shift(x, -1, axis) + x
-                 + _shift(x, 1, axis) + _shift(x, 2, axis))
-        return x
-
-    # Match on locally mean-removed images: offset robust at THIS level's
-    # scale, and immune to preprocessing (struct-texture high-pass leaves
-    # no coarse-level content to match on otherwise).  Under gain_correct,
-    # contrast-normalize too (NCC-like): multiplicative gain then cancels
-    # from the match cost.
-    if cfg is not None and cfg.gain_correct:
-        i1 = _local_contrast_norm(i1, 0.05)
-        i2 = _local_contrast_norm(i2, 0.05)
-    else:
-        i1 = i1 - _gauss_blur(i1)
-        i2 = i2 - _gauss_blur(i2)
-    # One scanned body over all (2r+1)² displacements (an unrolled loop of
-    # static rolls makes XLA compile times explode); the shifted window
-    # comes from a dynamic slice of the edge-padded image.
+    i1, i2 = _match_planes(i1, i2, cfg)
     padded = jnp.pad(i2, radius, mode="edge")
     side = 2 * radius + 1
-    dys = jnp.repeat(jnp.arange(side), side)
-    dxs = jnp.tile(jnp.arange(side), side)
 
-    ratio = cfg.match_ratio if cfg is not None else 0.0
-
-    def body(carry, off):
-        best_cost, second_cost, best_u, best_v = carry
-        dy, dx = off
+    def cost_of(dy, dx):
         shifted = jax.lax.dynamic_slice(padded, (dy, dx), i1.shape)
-        cost = box5((shifted - i1) ** 2)
+        return _box5((shifted - i1) ** 2)
+
+    def cand_of(dy, dx):
         du = (dx - radius).astype(i1.dtype)
         dv = (dy - radius).astype(i1.dtype)
-        better = cost < best_cost
-        # Ambiguity bookkeeping: best alternative ≥2 px from the current
-        # best; a dethroned best becomes the second when far enough from
-        # the new winner.
-        far = (jnp.abs(du - best_u) > 1.5) | (jnp.abs(dv - best_v) > 1.5)
-        second_cost = jnp.where(
-            better, jnp.where(far, best_cost, second_cost),
-            jnp.where(far & (cost < second_cost), cost, second_cost))
-        best_cost = jnp.where(better, cost, best_cost)
-        best_u = jnp.where(better, du, best_u)
-        best_v = jnp.where(better, dv, best_v)
-        return (best_cost, second_cost, best_u, best_v), None
+        return jnp.stack([jnp.full(i1.shape, du, i1.dtype),
+                          jnp.full(i1.shape, dv, i1.dtype)], axis=-1)
 
-    init_carry = (jnp.full(i1.shape, jnp.inf, i1.dtype),
-                  jnp.full(i1.shape, jnp.inf, i1.dtype),
-                  jnp.zeros(i1.shape, i1.dtype),
-                  jnp.zeros(i1.shape, i1.dtype))
-    (best_cost, second_cost, best_u, best_v), _ = jax.lax.scan(
-        body, init_carry, (dys, dxs))
-    if ratio > 0.0:
-        # Repetitive-texture matches carry no information (see
-        # DenseFlowConfig.match_ratio): drop to the zero init that the
-        # variational continuation refines.
-        ok = best_cost < ratio * second_cost
-        best_u = jnp.where(ok, best_u, 0.0)
-        best_v = jnp.where(ok, best_v, 0.0)
+    ratio = cfg.match_ratio if cfg is not None else 0.0
+    best, second, amb = _match_scan(
+        i1, cost_of, cand_of, side, prior=prior, radius=radius,
+        ratio=ratio, fallback=jnp.zeros(i1.shape + (2,), i1.dtype))
     # Median-clean the discrete field (kills isolated mismatches).
-    return jnp.stack([_median3(best_u), _median3(best_v)], axis=-1)
+    return (jnp.stack([_median3(best[..., 0]), _median3(best[..., 1])],
+                      axis=-1), second, amb)
 
 
-def _discrete_refine(i1, i2, flow, radius: int, cfg):
+def _discrete_refine(i1, i2, flow, radius: int, cfg, prior=None):
     """Warp-local integer search: test flow + d for d ∈ [−radius, radius]²
-    and keep the best box-filtered SSD per pixel (on locally mean-removed
-    images; contrast-normalized too under gain_correct)."""
-    if cfg.gain_correct:
-        i1 = _local_contrast_norm(i1, 0.05)
-        i2 = _local_contrast_norm(i2, 0.05)
-    else:
-        i1 = i1 - _gauss_blur(i1)
-        i2 = i2 - _gauss_blur(i2)
+    and keep the best box-filtered SSD per pixel.
 
-    def box5(x):
-        for axis in (0, 1):
-            x = (_shift(x, -2, axis) + _shift(x, -1, axis) + x
-                 + _shift(x, 1, axis) + _shift(x, 2, axis))
-        return x
-
+    Two realizations (cfg.refine_shifted):
+      * shifted (default since r5): warp I2 by `flow` ONCE, then each
+        candidate's cost comes from an integer SHIFT of the warped plane
+        — cost(x, d) tests displacement flow(x+d)+d instead of
+        flow(x)+d (DIS-inverse-search semantics; equal wherever flow is
+        locally smooth).  Removes the per-candidate Pallas warp that
+        made the scan the pyramid tail's cost driver (profile_r5b:
+        10.7 ms at 135x240 radius 4).
+      * exact: per-candidate re-warp (the r4 behavior).
+    Returns (flow, ambiguous).
+    """
+    i1m, i2m = _match_planes(i1, i2, cfg)
     side = 2 * radius + 1
-    dys = (jnp.repeat(jnp.arange(side), side) - radius).astype(i1.dtype)
-    dxs = (jnp.tile(jnp.arange(side), side) - radius).astype(i1.dtype)
 
-    def body(carry, off):
-        best_cost, second_cost, best = carry
-        dy, dx = off
-        cand = flow + jnp.stack([jnp.full(i1.shape, dx, i1.dtype),
-                                 jnp.full(i1.shape, dy, i1.dtype)], axis=-1)
-        cost = box5((_warp_cfg(i2, cand, cfg) - i1) ** 2)
-        better = cost < best_cost
-        # Ambiguity bookkeeping (see _coarse_init / match_ratio): best
-        # alternative ≥2 px from the current best displacement.
-        far = (jnp.abs(cand - best).max(axis=-1) > 1.5)
-        second_cost = jnp.where(
-            better, jnp.where(far, best_cost, second_cost),
-            jnp.where(far & (cost < second_cost), cost, second_cost))
-        best_cost = jnp.where(better, cost, best_cost)
-        best = jnp.where(better[..., None], cand, best)
-        return (best_cost, second_cost, best), None
+    if cfg.refine_shifted:
+        w0 = _warp_cfg(i2m, flow, cfg)
+        padded = jnp.pad(w0, radius, mode="edge")
 
-    init = (jnp.full(i1.shape, jnp.inf, i1.dtype),
-            jnp.full(i1.shape, jnp.inf, i1.dtype), flow)
-    (best_cost, second_cost, best), _ = jax.lax.scan(body, init, (dys, dxs))
-    if cfg.match_ratio > 0.0:
-        # Ambiguous matches keep the incoming variational flow.
-        ok = best_cost < cfg.match_ratio * second_cost
-        best = jnp.where(ok[..., None], best, flow)
-    return _median_flow(best, cfg)
+        def cost_of(dy, dx):
+            shifted = jax.lax.dynamic_slice(padded, (dy, dx), i1m.shape)
+            return _box5((shifted - i1m) ** 2)
+    else:
+        def cost_of(dy, dx):
+            du = (dx - radius).astype(i1m.dtype)
+            dv = (dy - radius).astype(i1m.dtype)
+            cand = flow + jnp.stack(
+                [jnp.full(i1m.shape, du, i1m.dtype),
+                 jnp.full(i1m.shape, dv, i1m.dtype)], axis=-1)
+            return _box5((_warp_cfg(i2m, cand, cfg) - i1m) ** 2)
+
+    def cand_of(dy, dx):
+        du = (dx - radius).astype(i1m.dtype)
+        dv = (dy - radius).astype(i1m.dtype)
+        return flow + jnp.stack([jnp.full(i1m.shape, du, i1m.dtype),
+                                 jnp.full(i1m.shape, dv, i1m.dtype)],
+                                axis=-1)
+
+    best, second, amb = _match_scan(i1m, cost_of, cand_of, side,
+                                    prior=prior, radius=radius,
+                                    ratio=cfg.match_ratio, fallback=flow)
+    return _median_flow(best, cfg), second, amb
 
 
 def _level_solve(i1, i2, flow, cfg: DenseFlowConfig, *,
-                 finest: bool = True):
-    """Warping + fixed-point Jacobi solves at one pyramid level."""
+                 finest: bool = True, data_mask=None):
+    """Warping + fixed-point Jacobi solves at one pyramid level.
+
+    data_mask: optional (H, W) float in {0, 1} — pixels with 0 get NO
+    data term (all 8 linearization coefficient planes zeroed), so the
+    point solve degenerates to the pure smoothness neighbor average
+    there: anchored interpolation from the mask-1 pixels (the
+    cfg.anchor_ambiguous pass, flow/relock.py).
+    """
     lam = cfg.smoothness
     eps2 = cfg.eps * cfg.eps
     warps = cfg.warps if finest or cfg.warps_coarse <= 0 else \
@@ -536,12 +620,26 @@ def _level_solve(i1, i2, flow, cfg: DenseFlowConfig, *,
         cgx = gtx - ixx * u0 - ixy * v0
         cgy = gty - ixy * u0 - iyy * v0
 
+        if data_mask is not None:
+            ix = ix * data_mask
+            iy = iy * data_mask
+            c = c * data_mask
+            ixx = ixx * data_mask
+            ixy = ixy * data_mask
+            iyy = iyy * data_mask
+            cgx = cgx * data_mask
+            cgy = cgy * data_mask
+
         if cfg.census_weight > 0.0:
             cen1 = _census_channels(i1, cfg.census_sigma)
             cen2w = _census_channels(i2w, cfg.census_sigma)
             cjx, cjy = _gradients(cen2w)       # (8, H, W)
             cct = cen2w - cen1                  # temporal census residual
             ccc = cct - cjx * u0 - cjy * v0     # constant part
+            if data_mask is not None:
+                cjx = cjx * data_mask
+                cjy = cjy * data_mask
+                ccc = ccc * data_mask
 
         ys = jnp.arange(i1.shape[0])[:, None]
         xs = jnp.arange(i1.shape[1])[None, :]
@@ -623,17 +721,26 @@ def _level_solve(i1, i2, flow, cfg: DenseFlowConfig, *,
     return flow
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def dense_flow(image1, image2, cfg: DenseFlowConfig = DenseFlowConfig()):
-    """Dense flow from image1 to image2 (pixels).
+class FlowAux(NamedTuple):
+    flow: jax.Array       # (H, W, 2) pixel flow
+    ambiguous: jax.Array  # (H, W) bool — discrete matching found no
+    #                       informative lock (periodic/flat texture); the
+    #                       variational continuation filled these pixels
+    alt_flow: jax.Array = None  # (H, W, 2) best >=2 px-away ALTERNATIVE
+    #                       discrete lock from the finest searched scale,
+    #                       upsampled to full res (full-res pixel units).
+    #                       On periodic texture (alt − flow) ≈ ±one
+    #                       image-space period vector (flow/relock.py)
 
-    Args:
-      image1, image2: (H, W[, 3]) float images in [0, 1].
-      cfg: DenseFlowConfig (static).
 
-    Returns:
-      (H, W, 2) pixel flow.
-    """
+def _upsample_mask(mask, shape):
+    return jax.image.resize(mask.astype(jnp.float32), shape,
+                            method="nearest") > 0.5
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "has_prior"))
+def _dense_flow_aux(image1, image2, cfg: DenseFlowConfig, prior=None,
+                    has_prior: bool = False):
     i1 = _to_gray(jnp.asarray(image1))
     i2 = _to_gray(jnp.asarray(image2))
     if cfg.lcn > 0.0:
@@ -655,24 +762,97 @@ def dense_flow(image1, image2, cfg: DenseFlowConfig = DenseFlowConfig()):
     for _ in range(max_levels - 1):
         p1.append(_downsample(p1[-1]))
         p2.append(_downsample(p2[-1]))
+    priors = [None] * max_levels
+    if has_prior:
+        # Prior pyramid: blur-downsampled like the images, flow VALUES
+        # halving per level (pixel units of that level).
+        pr = jnp.asarray(prior, i1.dtype)
+        priors[0] = pr
+        for lv in range(1, max_levels):
+            pr = jnp.stack([_downsample(pr[..., 0]),
+                            _downsample(pr[..., 1])], axis=-1) * 0.5
+            priors[lv] = pr
 
+    # Ambiguity export: OR across the searched discrete scales.  The
+    # periodicity of the reptex family is visible at SOME scales and not
+    # others (the period must be resolvable AND inside the search
+    # diameter — measured per-stage fractions 0.35/0.41/0.12 on reptex),
+    # so any-scale ambiguity is the conservative anchor-exclusion signal.
+    amb_full = jnp.zeros((h, w), bool)
+    amb_lv = None  # current level's ambiguity (for the anchored pass)
+    alt_full = None  # alternative lock, per-pixel from the FINEST scale
+    #                  that flagged it ambiguous (coarser scales see the
+    #                  period the fine windows cannot contain)
     if cfg.init_search_radius > 0:
-        flow = _coarse_init(p1[-1], p2[-1], cfg.init_search_radius, cfg)
+        flow, alt_c, amb_lv = _coarse_init(
+            p1[-1], p2[-1], cfg.init_search_radius, cfg, prior=priors[-1])
+        amb_full = _upsample_mask(amb_lv, (h, w))
+        alt_full = jnp.where(amb_full[..., None],
+                             _upsample_flow(alt_c, (h, w)),
+                             jnp.zeros((h, w, 2), i1.dtype))
     else:
         flow = jnp.zeros(p1[-1].shape + (2,), i1.dtype)
     for lvl in range(max_levels - 1, -1, -1):
+        shape_l = p1[lvl].shape
         if lvl != max_levels - 1:
-            flow = _upsample_flow(flow, p1[lvl].shape)
+            flow = _upsample_flow(flow, shape_l)
+            if amb_lv is not None:
+                amb_lv = _upsample_mask(amb_lv, shape_l)
         if lvl != 0:
             if (cfg.refine_search_radius > 0
-                    and min(p1[lvl].shape) <= cfg.refine_max_size):
+                    and min(shape_l) <= cfg.refine_max_size):
                 radius = cfg.refine_search_radius
             else:
                 radius = cfg.refine_fine_radius
             if radius > 0:
-                flow = _discrete_refine(p1[lvl], p2[lvl], flow, radius, cfg)
-        flow = _level_solve(p1[lvl], p2[lvl], flow, cfg, finest=(lvl == 0))
-    return flow
+                flow, alt, amb = _discrete_refine(p1[lvl], p2[lvl], flow,
+                                                  radius, cfg,
+                                                  prior=priors[lvl])
+                amb_up = _upsample_mask(amb, (h, w))
+                amb_full = amb_full | amb_up
+                amb_lv = amb if amb_lv is None else (amb_lv | amb)
+                alt_up = _upsample_flow(alt, (h, w))
+                alt_full = (jnp.where(amb_up[..., None], alt_up, alt_full)
+                            if alt_full is not None else alt_up)
+        data_mask = None
+        if cfg.anchor_ambiguous and amb_lv is not None:
+            data_mask = 1.0 - amb_lv.astype(i1.dtype)
+        flow = _level_solve(p1[lvl], p2[lvl], flow, cfg,
+                            finest=(lvl == 0), data_mask=data_mask)
+    if alt_full is None:
+        alt_full = flow
+    return FlowAux(flow=flow, ambiguous=amb_full, alt_flow=alt_full)
+
+
+def dense_flow_aux(image1, image2, cfg: DenseFlowConfig = DenseFlowConfig(),
+                   prior=None) -> FlowAux:
+    """Dense flow + the discrete-matching ambiguity mask.
+
+    Args:
+      image1, image2: (H, W[, 3]) float images in [0, 1].
+      cfg: DenseFlowConfig (static).
+      prior: optional (H, W, 2) pixel-flow prior (e.g. the rigid-model
+        prediction from a first pass — flow/relock.py).  Discrete
+        matching stages multiply each candidate's SELECTION cost by a
+        penalty growing with its distance to the prior: exact photometric
+        ties (periodic texture) resolve toward the prior while confident
+        matches are untouched; the match_ratio fallback is bypassed (the
+        prior IS the disambiguation).
+
+    Returns:
+      FlowAux(flow, ambiguous) — `ambiguous` marks pixels where every
+      searched discrete scale found no informative lock (best within 10%
+      of a >=2 px-away alternative): on strictly periodic texture the
+      flow there is a continuation guess, not a measurement.
+    """
+    return _dense_flow_aux(image1, image2, cfg, prior,
+                           has_prior=prior is not None)
+
+
+def dense_flow(image1, image2, cfg: DenseFlowConfig = DenseFlowConfig(),
+               prior=None):
+    """Dense flow from image1 to image2 (pixels) — see dense_flow_aux."""
+    return dense_flow_aux(image1, image2, cfg, prior=prior).flow
 
 
 class FlowWithOcclusion(NamedTuple):
@@ -680,23 +860,18 @@ class FlowWithOcclusion(NamedTuple):
     backward: jax.Array   # (H, W, 2) backward flow (frame2 → frame1)
     occlusion: jax.Array  # (H, W) bool — True where forward flow is
     #                       unreliable (occluded / out-of-view / mismatched)
+    ambiguous: jax.Array = None  # (H, W) bool — discrete matching found
+    #                       no informative lock (see FlowAux); None on
+    #                       pre-r5 pickles only
+    alt_flow: jax.Array = None  # (H, W, 2) alternative discrete lock
+    #                       (FlowAux.alt_flow) of the FORWARD flow
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def flow_forward_backward(image1, image2,
-                          cfg: DenseFlowConfig = DenseFlowConfig()):
-    """Forward + backward flow with occlusion detection.
-
-    The forward-backward consistency check (Sundaram-Brox): a pixel x is
-    occluded (or mismatched) when the round trip does not return,
-      |w_f(x) + w_b(x + w_f(x))|² > 0.01·(|w_f(x)|² + |w_b(x+w_f)|²) + 0.5.
-    The reference has no occlusion handling (DeepFlow output is consumed
-    raw, src/camera.cc:253-277); its report names occlusion-induced flow
-    failure as the dominant real-world error mode (example 4).  The mask
-    feeds `estimate_from_flow(..., pixel_mask=~occlusion)` so RANSAC and
-    refinement never score occluded pixels.
-    """
-    fw = dense_flow(image1, image2, cfg)
+@functools.partial(jax.jit, static_argnames=("cfg", "_has_prior"))
+def _flow_fb_jit(image1, image2, cfg, prior, _has_prior):
+    fw_aux = _dense_flow_aux(image1, image2, cfg, prior,
+                             has_prior=_has_prior)
+    fw = fw_aux.flow
     if cfg.backward_scale > 1:
         if cfg.backward_scale & (cfg.backward_scale - 1):
             raise ValueError(
@@ -705,12 +880,25 @@ def flow_forward_backward(image1, image2,
                 f"pyramid downsamples")
         g1 = _to_gray(jnp.asarray(image1))
         g2 = _to_gray(jnp.asarray(image2))
+        bw_prior = (-jnp.asarray(prior, fw.dtype)
+                    if _has_prior else None)
         for _ in range(cfg.backward_scale.bit_length() - 1):
             g1, g2 = _downsample(g1), _downsample(g2)
-        bw_lo = dense_flow(g2, g1, cfg)
+            if bw_prior is not None:
+                bw_prior = jnp.stack([_downsample(bw_prior[..., 0]),
+                                      _downsample(bw_prior[..., 1])],
+                                     axis=-1) * 0.5
+        bw_lo = _dense_flow_aux(g2, g1, cfg, bw_prior,
+                                has_prior=_has_prior).flow
         bw = _upsample_flow(bw_lo, fw.shape[:2])
     else:
-        bw = dense_flow(image2, image1, cfg)
+        # Backward prior: the negated forward prior is only an ANCHOR for
+        # tie-breaking (sampled at the same pixel instead of the
+        # displaced one — exact enough for disambiguation).
+        bw = _dense_flow_aux(
+            image2, image1, cfg,
+            -jnp.asarray(prior, fw.dtype) if _has_prior else None,
+            has_prior=_has_prior).flow
     # Backward flow sampled at x + w_f(x), channel-wise through the
     # configured warp engine.
     bw_at_fw = jnp.stack([_warp_cfg(bw[..., 0], fw, cfg),
@@ -725,4 +913,30 @@ def flow_forward_backward(image1, image2,
         n2 = _local_contrast_norm(_to_gray(jnp.asarray(image2)), 0.05)
         n2w = _warp_cfg(n2, fw, cfg)
         occ = occ | (jnp.abs(n2w - n1) > cfg.occ_photo)
-    return FlowWithOcclusion(flow=fw, backward=bw, occlusion=occ)
+    return FlowWithOcclusion(flow=fw, backward=bw, occlusion=occ,
+                             ambiguous=fw_aux.ambiguous,
+                             alt_flow=fw_aux.alt_flow)
+
+
+def flow_forward_backward(image1, image2,
+                          cfg: DenseFlowConfig = DenseFlowConfig(),
+                          prior=None) -> FlowWithOcclusion:
+    """Forward + backward flow with occlusion detection.
+
+    The forward-backward consistency check (Sundaram-Brox): a pixel x is
+    occluded (or mismatched) when the round trip does not return,
+      |w_f(x) + w_b(x + w_f(x))|² > 0.01·(|w_f(x)|² + |w_b(x+w_f)|²) + 0.5.
+    The reference has no occlusion handling (DeepFlow output is consumed
+    raw, src/camera.cc:253-277); its report names occlusion-induced flow
+    failure as the dominant real-world error mode (example 4).  The mask
+    feeds `estimate_from_flow(..., pixel_mask=~occlusion)` so RANSAC and
+    refinement never score occluded pixels.
+
+    The result additionally carries the discrete-matching `ambiguous`
+    mask (see dense_flow_aux): periodic-texture pixels the FB test CANNOT
+    flag (the wrong lock round-trips consistently).  `prior` is the
+    optional rigid-model flow prior for the relock pass (flow/relock.py);
+    the backward solve uses its negation as a tie-break anchor.
+    """
+    return _flow_fb_jit(image1, image2, cfg, prior,
+                        _has_prior=prior is not None)

@@ -83,8 +83,10 @@ def estimate_sharded(mesh: Mesh, intr: Intrinsics, gamma,
     single-device Pallas engines fall back to their XLA twins.
 
     Returns a function (flow (H, W, 2), key) -> EstimationResult whose
-    per-pixel fields are sharded over `axis` rows; H must divide by the
-    axis size.
+    per-pixel fields are sharded over `axis` rows.  H need not divide the
+    axis size: rows are zero-flow-padded to a shard multiple (inherently
+    invalid under cfg.flow_threshold, so they contribute to no reduction)
+    and per-pixel outputs are cropped back (r5, VERDICT r4 item 8).
     """
     n_shards = mesh.shape[axis]
     if pool_per_shard != cfg.ransac_sample_pool:
@@ -92,19 +94,27 @@ def estimate_sharded(mesh: Mesh, intr: Intrinsics, gamma,
 
         cfg = dataclasses.replace(cfg, ransac_sample_pool=pool_per_shard)
 
-    def body(flow_block, key, row0):
-        # flow_block: (H/S, W, 2) local scanline block; row0: (1,) global
-        # row offset of this block.
-        h_loc = flow_block.shape[0]
-        return estimate_from_flow(
-            flow_block, intr, gamma, cfg, key, axis_name=axis,
-            row_offset=row0[0],
-            total_rows=(total_rows if total_rows is not None
-                        else h_loc * n_shards))
-
     def run(flow, key):
         h = flow.shape[0]
-        row0 = (jnp.arange(n_shards) * (h // n_shards)).astype(flow.dtype)
+        # Non-divisible H: pad rows to a shard multiple with ZERO flow —
+        # zero-flow pixels are already invalid under cfg.flow_threshold,
+        # so every masked reduction (votes, Schur sums, sign flip) ignores
+        # them with no extra mask plumbing; per-pixel outputs are cropped
+        # back below.  α/α̃ keep the TRUE row count (readout-time
+        # normalization is a property of the image, not the padding).
+        hp = -(-h // n_shards) * n_shards
+        tr = total_rows if total_rows is not None else h
+        if hp != h:
+            flow = jnp.pad(flow, ((0, hp - h), (0, 0), (0, 0)))
+
+        def body(flow_block, key, row0):
+            # flow_block: (hp/S, W, 2) local scanline block; row0: (1,)
+            # global row offset of this block.
+            return estimate_from_flow(
+                flow_block, intr, gamma, cfg, key, axis_name=axis,
+                row_offset=row0[0], total_rows=tr)
+
+        row0 = (jnp.arange(n_shards) * (hp // n_shards)).astype(flow.dtype)
         fn = jax.shard_map(
             body, mesh=mesh,
             in_specs=(P(axis, None, None), P(), P(axis)),
@@ -114,6 +124,11 @@ def estimate_sharded(mesh: Mesh, intr: Intrinsics, gamma,
                 num_inliers=P(), ransac_v=P(), ransac_w=P(), ransac_k=P(),
                 refine_cost=P()),
         )
-        return fn(flow, key, row0)
+        res = fn(flow, key, row0)
+        if hp != h:
+            res = res._replace(depth_map=res.depth_map[:h],
+                               inlier_mask=res.inlier_mask[:h],
+                               valid_mask=res.valid_mask[:h])
+        return res
 
     return run
