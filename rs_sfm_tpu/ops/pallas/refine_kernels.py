@@ -543,3 +543,175 @@ def lm_iter(state, px, rho_prev, rho_cand, interpret: bool = False,
                         pltpu.VMEM((1, 128), jnp.float32)],
         interpret=interpret,
     )(state, px, rho_prev, rho_cand)
+
+
+# ---------------------------------------------------------------------------
+# Sharded fused LM (VERDICT r4 item 5): the pixel sweep stays a Pallas
+# kernel per shard (sums only — the per-pixel work IS the cost), the 71-sum
+# accumulators are psum'd across the scanline-block axis, and the tiny
+# accept/solve step runs once in plain JAX on the replicated sums.  The
+# sequence of evaluated points, accept decisions, and lambda updates is
+# IDENTICAL to the fused single-device kernel up to the float reassociation
+# of partial-sum order (per-shard partials + psum vs sequential tiles).
+# ---------------------------------------------------------------------------
+
+
+def _sums_kernel_multi(state_ref, px_ref, mask_ref, rho_prev_ref,
+                       rho_cand_ref, rho_eff_ref, rho_new_ref,
+                       accj_ref, accs_ref, accv_ref, *,
+                       nstarts: int, loss_delta: float = 0.0):
+    """_iter_kernel_multi without the decide step: accumulators are
+    OUTPUTS (constant-index blocks accumulated across the sequential
+    grid), so the caller can psum them before deciding."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        accj_ref[:, :] = jnp.zeros((16 * nstarts, 128), jnp.float32)
+        accs_ref[:, :] = jnp.zeros((8 * nstarts, 128), jnp.float32)
+        accv_ref[:, :] = jnp.zeros((nstarts, 128), jnp.float32)
+
+    for s_i in range(nstarts):
+        theta_cand = tuple(state_ref[s_i, _S_CAND + t] for t in range(7))
+        k_keep = state_ref[s_i, _S_KKEEP]
+        accept = state_ref[s_i, _S_ACCEPT] > 0.5
+        active = state_ref[s_i, _S_ACTIVE]
+        m = mask_ref[s_i, :]
+        rho_eff, rho_new, g1, g2, accv = _reduce_start(
+            px_ref, m, rho_prev_ref[s_i, :], rho_cand_ref[s_i, :],
+            theta_cand, k_keep, accept, active, loss_delta=loss_delta)
+        rho_eff_ref[s_i, :] = rho_eff
+        rho_new_ref[s_i, :] = rho_new
+        accj_ref[16 * s_i:16 * (s_i + 1), 0:16] += g1
+        accs_ref[8 * s_i:8 * (s_i + 1), 0:8] += g2
+        accv_ref[s_i, :] += accv[0, :]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "tile", "loss_delta"))
+def lm_sums_multi(state, px, masks, rho_prev, rho_cand,
+                  interpret: bool = False, tile: int = TILE_MULTI,
+                  loss_delta: float = 0.0):
+    """Pixel-sweep half of one LM iteration for J starts.
+
+    Returns (rho_eff (J,N), rho_new (J,N), accj (J,16,16), accs (J,8,8),
+    accv (J,128)) — the local reduction sums; psum them across the shard
+    axis, then apply lm_decide to produce the next state.
+    """
+    j, n = rho_prev.shape
+    tiles = n // tile
+    rho_eff, rho_new, accj, accs, accv = pl.pallas_call(
+        functools.partial(_sums_kernel_multi, nstarts=j,
+                          loss_delta=loss_delta),
+        grid=(tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((j, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((j, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((j, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((j, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((j, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16 * j, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8 * j, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((j, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((j, n), jnp.float32),
+            jax.ShapeDtypeStruct((j, n), jnp.float32),
+            jax.ShapeDtypeStruct((16 * j, 128), jnp.float32),
+            jax.ShapeDtypeStruct((8 * j, 128), jnp.float32),
+            jax.ShapeDtypeStruct((j, 128), jnp.float32),
+        ),
+        interpret=interpret,
+    )(state, px, masks, rho_prev, rho_cand)
+    return (rho_eff, rho_new,
+            accj.reshape(j, 16, 128)[:, :, 0:16],
+            accs.reshape(j, 8, 128)[:, :, 0:8], accv)
+
+
+_TRI_I = np.asarray([i for i, _ in _TRIU], np.int32)
+_TRI_J = np.asarray([j for _, j in _TRIU], np.int32)
+_TRI_IDX_NP = jnp.asarray(_TRI_IDX)
+
+
+def lm_decide(state, accj, accs, accv):
+    """Accept/reject + lambda schedule + damped Schur solve, in plain JAX
+    on the (psum'd) reduction sums — the exact vectorized mirror of the
+    in-kernel _decide_and_solve_start (incl. the r5 done-freeze).
+
+    Args:
+      state: (J, 128) LM states; accj: (J, 16, 16); accs: (J, 8, 8);
+      accv: (J, 128).
+
+    Returns:
+      new state (J, 128).
+    """
+    f32 = state.dtype
+    jdim = state.shape[0]
+    jj = accj[:, 0:8, 0:8] + accj[:, 8:16, 8:16]        # (J, 8, 8)
+    triu_j = jj[:, _TRI_I, _TRI_J]                       # (J, 28)
+    triu_s = accs[:, _TRI_I, _TRI_J]                     # (J, 28)
+    sums_cand = jnp.concatenate(
+        [triu_j, accv[:, 28:36], triu_s, accv[:, 64:71]], axis=1)  # (J,71)
+
+    cost_prev = state[:, _S_COST]
+    rel_tol = state[:, _S_RELTOL]
+    k_keep = state[:, _S_KKEEP]
+    lam = state[:, _S_LAM]
+    cost_cand = sums_cand[:, 35]
+    was_done = state[:, _S_DONE] > 0.5
+    acc_ok = ((cost_cand < cost_prev) & (cost_cand == cost_cand)
+              & ~was_done)
+    prev_finite = jnp.abs(cost_prev) < jnp.float32(3.0e38)
+    conv = acc_ok & prev_finite & (
+        cost_prev - cost_cand <= rel_tol * cost_prev)
+    done = was_done | conv
+
+    sums_prev = state[:, _S_SUMS:_S_SUMS + _N_SUMS]
+    sums = jnp.where(acc_ok[:, None], sums_cand, sums_prev)
+    theta = jnp.where(acc_ok[:, None], state[:, _S_CAND:_S_CAND + 7],
+                      state[:, _S_THETA:_S_THETA + 7])
+    cost = jnp.where(acc_ok, cost_cand, cost_prev)
+    lam_new = jnp.where(was_done, lam,
+                        jnp.where(acc_ok, jnp.maximum(lam / 3.0, 1e-12),
+                                  lam * 4.0))
+
+    s = (1.0 / (1.0 + lam_new))[:, None, None]
+    h = sums[:, _TRI_IDX_NP] - sums[:, 36 + _TRI_IDX_NP] * s  # (J, 7, 7)
+    diag = lam_new[:, None] * (sums[:, _TRI_IDX_NP[np.arange(7),
+                                                   np.arange(7)]] + 1e-12)
+    h = h + jnp.eye(7, dtype=f32)[None] * diag[:, None, :] * jnp.eye(
+        7, dtype=f32)[None]
+    h = h.at[:, 6, 6].add(1.0 - k_keep)
+    b = -(sums[:, 28:35] - sums[:, 64:71] * s[:, :, 0])
+    from rs_sfm_tpu.ops.linalg import gauss_solve
+
+    delta = jax.vmap(gauss_solve)(h, b)                   # (J, 7)
+
+    new_state = jnp.zeros((jdim, 128), f32)
+    new_state = new_state.at[:, _S_THETA:_S_THETA + 7].set(theta)
+    new_state = new_state.at[:, _S_CAND:_S_CAND + 7].set(theta + delta)
+    new_state = new_state.at[:, _S_DELTA:_S_DELTA + 7].set(delta)
+    new_state = new_state.at[:, _S_LAM].set(lam_new)
+    new_state = new_state.at[:, _S_COST].set(cost)
+    new_state = new_state.at[:, _S_KKEEP].set(k_keep)
+    new_state = new_state.at[:, _S_ACCEPT].set(acc_ok.astype(f32))
+    new_state = new_state.at[:, _S_DONE].set(done.astype(f32))
+    new_state = new_state.at[:, _S_RELTOL].set(rel_tol)
+    new_state = new_state.at[:, _S_ACTIVE].set(1.0)
+    new_state = new_state.at[:, _S_COST0].set(
+        jnp.where(prev_finite, state[:, _S_COST0], cost_cand))
+    new_state = new_state.at[:, _S_SUMS:_S_SUMS + _N_SUMS].set(sums)
+    return new_state

@@ -82,18 +82,26 @@ def _score_kernel(hyp_ref, px_ref, out_ref, *, tol: float):
     out_ref[0, :, :] = jnp.stack([num, esum], axis=0)          # (2, HBLOCK)
 
 
-@functools.partial(jax.jit, static_argnames=("tol", "interpret"))
-def score_hypotheses_pallas(pixels, hyps, tol: float, interpret: bool = False):
+def score_hypotheses_pallas(pixels, hyps, tol: float, interpret=None):
     """Score all hypotheses against all pixels.
 
     Args:
       pixels: (8, N) f32 packed pixel fields (N multiple of TILE).
       hyps: (T, 8) f32 packed hypotheses (any T; padded internally).
       tol: inlier tolerance (static).
+      interpret: None = auto (interpreter on CPU — tests and the
+        shard_map CPU mesh; compiled Mosaic elsewhere).
 
     Returns:
       (num_inliers (T,) f32, inlier_error (T,) f32).
     """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    return _score_hypotheses_pallas(pixels, hyps, tol, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("tol", "interpret"))
+def _score_hypotheses_pallas(pixels, hyps, tol: float, interpret: bool):
     _, n = pixels.shape
     t = hyps.shape[0]
     assert n % TILE == 0, n

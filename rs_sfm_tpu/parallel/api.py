@@ -123,6 +123,10 @@ def estimate_sharded(mesh: Mesh, intr: Intrinsics, gamma,
                 inlier_mask=P(axis, None), valid_mask=P(axis, None),
                 num_inliers=P(), ransac_v=P(), ransac_w=P(), ransac_k=P(),
                 refine_cost=P()),
+            # The varying-mesh-axes checker cannot type pallas_call
+            # outputs (the r5 sharded Pallas engines); replication is
+            # managed explicitly — every scalar output follows a psum.
+            check_vma=False,
         )
         res = fn(flow, key, row0)
         if hp != h:

