@@ -97,6 +97,12 @@ class PipelineConfig:
     # so the basin RANKING is stable well before full convergence — this
     # buys back most of the J x iteration cost of multi-start.
     refine_winnow_iters: int = 0
+    # Bandit-style second winnow stage (r5): after the J-start winnow
+    # phase, keep the TOP-2 vote-ranked starts for this many more
+    # iterations before the winner finishes alone (4 -> 2 -> 1).  Cuts
+    # the full-J batch to fewer iterations where the basin ranking needs
+    # a second look before committing.  0 = single winnow stage.
+    refine_winnow2_iters: int = 0
     # Deterministic k initialization (constant-acceleration mode): before
     # LM, evaluate the refinement objective on this many k grid points
     # (closed-form ρ + exact linear (v,w) re-fit per point, solver/kscan.py)

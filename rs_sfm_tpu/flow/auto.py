@@ -34,8 +34,14 @@ from rs_sfm_tpu.flow.dense import (DenseFlowConfig, _downsample, _gauss_blur,
                                    _to_gray, _warp, flow_forward_backward)
 
 # Probe thresholds (see module docstring for the measured per-scene
-# values these separate).
-OCC_THRESHOLD = 0.35
+# values these separate).  r5: the occlusion trigger is OFF by default
+# (None) — movers/large-motion inflate the probe's occ fraction (stress:
+# 0.62) but LCN is the wrong medicine for them (occlusion MASKS are; the
+# robust preset measured 8.95 px median vs 2.11 variational on the mover
+# scene, results/flow_matrix_r5.json), while actual photometric
+# corruption is already caught by the aligned gain field (photo spread
+# 0.095 vs clean/stress 0.010 — >2x margins on both sides).
+OCC_THRESHOLD = None
 GAIN_SPREAD_THRESHOLD = 0.04
 GAIN_BIAS_THRESHOLD = 0.015
 
@@ -85,8 +91,9 @@ def probe_flow_preset(image1, image2, *, downsamples: int = 3,
         i2 = _downsample(i2)
     cfg = DenseFlowConfig(levels=4, iters=12, warps=2)
     occ_frac, bias, spread = (float(x) for x in _probe_stats(i1, i2, cfg))
-    robust = (occ_frac > occ_threshold or spread > gain_spread_threshold
-              or bias > gain_bias_threshold)
+    robust = (spread > gain_spread_threshold
+              or bias > gain_bias_threshold
+              or (occ_threshold is not None and occ_frac > occ_threshold))
     name = "robust" if robust else "variational"
     if return_stats:
         return name, {"occ_frac": occ_frac, "gain_bias": bias,

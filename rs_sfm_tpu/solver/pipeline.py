@@ -276,9 +276,35 @@ def estimate_from_flow(
             err_masked = jnp.where(num_g == best_num, err_g, jnp.inf)
             # Ties keep the earliest (best-scored) start, like the
             # sequential formulation's strict comparisons.
-            return jnp.argmin(err_masked), num_g, rho_r, inl_r
+            return jnp.argmin(err_masked), num_g, err_g, rho_r, inl_r
 
-        best_j, num_g, rho_r, inl_r = rescore(ref.v, ref.w, ref.k)
+        best_j, num_g, err_g, rho_r, inl_r = rescore(ref.v, ref.w, ref.k)
+        winnow2 = (cfg.refine_winnow2_iters
+                   if (winnow and cfg.refine_starts > 2
+                       and 0 < cfg.refine_winnow2_iters
+                       and winnow + cfg.refine_winnow2_iters
+                       < cfg.refine_iterations)
+                   else 0)
+        if winnow2:
+            # Bandit-style middle stage (r5, VERDICT r4 item 10): after
+            # the J-start winnow phase, keep the TOP-2 starts (by the
+            # same exact two-stage vote, second = best among the rest)
+            # for winnow2 more iterations before the winner finishes
+            # alone — most of the basin ranking is settled early, so the
+            # full-J batch runs fewer iterations.
+            second_masked = jnp.where(
+                jnp.arange(num_g.shape[0]) == best_j, -1.0, num_g)
+            second_num = jnp.max(second_masked)
+            err_g2 = jnp.where(
+                (second_masked == second_num)
+                & (jnp.arange(num_g.shape[0]) != best_j),
+                err_g, jnp.inf)
+            second_j = jnp.argmin(err_g2)
+            pick = jnp.stack([best_j, second_j])
+            ref = refine_multi(inl_r[pick], ref.v[pick], ref.w[pick],
+                               ref.k[pick], rho_r[pick], winnow2)
+            best_j, num_g, err_g, rho_r, inl_r = rescore(
+                ref.v, ref.w, ref.k)
         if winnow:
             # Finish the winner alone for the remaining iterations from
             # its winnow-phase state (fresh LM damping on its basin).
@@ -287,8 +313,9 @@ def estimate_from_flow(
             k_b = ref.k[best_j]
             ref = refine_multi(inl_r[best_j][None], v_b[None], w_b[None],
                                k_b[None], rho_r[best_j][None],
-                               cfg.refine_iterations - winnow)
-            best_j, num_g, rho_r, inl_r = rescore(ref.v, ref.w, ref.k)
+                               cfg.refine_iterations - winnow - winnow2)
+            best_j, num_g, err_g, rho_r, inl_r = rescore(
+                ref.v, ref.w, ref.k)
         v, w, k = ref.v[best_j], ref.w[best_j], ref.k[best_j]
         # Use the closed-form ρ at the refined motion (identical optimum to
         # the LM per-pixel depths, but defined consistently with the
