@@ -53,6 +53,17 @@ class FeedbackResult(NamedTuple):
     trusted_depth: jax.Array  # (H, W) bool — inliers surviving both tests
 
 
+def _up2_to(x, shape):
+    """2x bilinear upsample cropped to the parent level's shape.
+
+    Measured BOTH ways on hardware (results/profile_r5d.json): the
+    resize-based feedback pass runs 99.3 ms, the _up2-interleave variant
+    114.1 ms — in this graph the gather-lowered resize fuses better than
+    the lane-interleave, the opposite of the standalone comparison, so
+    resize stays."""
+    return jax.image.resize(x, shape, method="bilinear")
+
+
 def _coarse_smooth(values, weights, down: int = 3, blurs: int = 3):
     """Normalized convolution at a coarse scale (aperture ~ 2^down * 2 *
     blurs px): the reference neighborhood for the depth-coherence test —
@@ -61,14 +72,18 @@ def _coarse_smooth(values, weights, down: int = 3, blurs: int = 3):
     that and is blind to coherent bands — measured)."""
     num = values * weights
     den = weights
+    shapes = []
     for _ in range(down):
+        shapes.append(num.shape)
         num = _downsample(_gauss_blur(num))
         den = _downsample(_gauss_blur(den))
     for _ in range(blurs):
         num = _gauss_blur(num)
         den = _gauss_blur(den)
     sm = num / jnp.maximum(den, 1e-9)
-    return jax.image.resize(sm, values.shape, method="bilinear")
+    for shape in reversed(shapes):
+        sm = _up2_to(sm, shape)
+    return sm
 
 
 def _push_pull_fill(values, weights, levels: int = 6):
@@ -90,7 +105,7 @@ def _push_pull_fill(values, weights, levels: int = 6):
         den = den[::2, ::2]
     fill = num / jnp.maximum(den, 1e-12)
     for num_l, den_l in reversed(stack):
-        up = jax.image.resize(fill, num_l.shape, method="bilinear")
+        up = _up2_to(fill, num_l.shape)
         fill = jnp.where(den_l > 1e-6, num_l / jnp.maximum(den_l, 1e-12),
                          up)
     return fill

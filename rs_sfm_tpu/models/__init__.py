@@ -29,10 +29,17 @@ from typing import Dict
 
 from rs_sfm_tpu.flow.dense import DenseFlowConfig
 
+# r5: both production presets run 6 warping iterations at the COARSE
+# pyramid levels (finest stays at 3).  Extra coarse relinearizations are
+# where wrong basins around movers/large motions get corrected (measured,
+# results/flow_matrix_r5.json + /tmp diagnosis transcribed in STRESS.md:
+# mover-scene median EPE 12.7 -> 4.7 px plain, photo 2.61 -> 1.76,
+# bigmotion 0.24 -> 0.11) at +10.7 ms of the ~78 ms full-HD forward pass
+# (results/profile_r5d.json fb_wc6).
 FLOW_PRESETS: Dict[str, DenseFlowConfig] = {
-    "variational": DenseFlowConfig(),
+    "variational": DenseFlowConfig(warps_coarse=6),
     "fast": DenseFlowConfig(levels=4, warps=2, iters=24),
-    "robust": DenseFlowConfig(lcn=0.05),
+    "robust": DenseFlowConfig(lcn=0.05, warps_coarse=6),
     "census": DenseFlowConfig(census_weight=1.0, struct_texture=0.9),
 }
 

@@ -643,7 +643,9 @@ def lm_sums_multi(state, px, masks, rho_prev, rho_cand,
 
 _TRI_I = np.asarray([i for i, _ in _TRIU], np.int32)
 _TRI_J = np.asarray([j for _, j in _TRIU], np.int32)
-_TRI_IDX_NP = jnp.asarray(_TRI_IDX)
+# NOTE: numpy (not jnp) — this module is imported lazily inside jit
+# traces (solver/pipeline _sharded_refine), where a module-level jnp
+# constant would be created as a tracer and leak out of the trace.
 
 
 def lm_decide(state, accj, accs, accv):
@@ -689,11 +691,10 @@ def lm_decide(state, accj, accs, accv):
                                   lam * 4.0))
 
     s = (1.0 / (1.0 + lam_new))[:, None, None]
-    h = sums[:, _TRI_IDX_NP] - sums[:, 36 + _TRI_IDX_NP] * s  # (J, 7, 7)
-    diag = lam_new[:, None] * (sums[:, _TRI_IDX_NP[np.arange(7),
-                                                   np.arange(7)]] + 1e-12)
-    h = h + jnp.eye(7, dtype=f32)[None] * diag[:, None, :] * jnp.eye(
-        7, dtype=f32)[None]
+    h = sums[:, _TRI_IDX] - sums[:, 36 + _TRI_IDX] * s    # (J, 7, 7)
+    diag = lam_new[:, None] * (sums[:, _TRI_IDX[np.arange(7),
+                                                np.arange(7)]] + 1e-12)
+    h = h + jnp.eye(7, dtype=f32)[None] * diag[:, None, :]
     h = h.at[:, 6, 6].add(1.0 - k_keep)
     b = -(sums[:, 28:35] - sums[:, 64:71] * s[:, :, 0])
     from rs_sfm_tpu.ops.linalg import gauss_solve

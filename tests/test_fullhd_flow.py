@@ -25,7 +25,7 @@ from rs_sfm_tpu.eval.metrics import translation_error
 from rs_sfm_tpu.flow.dense import flow_forward_backward
 from rs_sfm_tpu.flow.true_flow import true_flow
 from rs_sfm_tpu.models import get_flow_preset
-from rs_sfm_tpu.solver.pipeline import estimate_from_flow
+from rs_sfm_tpu.solver.pipeline import estimate_with_feedback
 
 H, W = 1080, 1920
 GAMMA = 0.9
@@ -36,12 +36,17 @@ W_TRUE = np.array([0.003, -0.002, 0.004])
 # exercised by the STRESS.md protocol — keep all three in sync (VERDICT
 # r3 weak #3).  refine_winnow_iters=8: 4 batched starts for 8 LM
 # iterations, then the vote winner alone (validated equivalent to the
-# full 4x30 schedule at these gates).
+# full 4x30 schedule at these gates).  r5 (VERDICT r4 item 2): the
+# model-feedback pass is IN the gated config — tight-consensus +
+# depth-coherence outliers extend the untrusted mask and a warm-start
+# Huber-LM re-estimation runs on the survivors (measured: photo err_v
+# 0.0948 -> 0.0771, mover-scene median 0.166 -> 0.097).
 EST_CFG = PipelineConfig(ransac_trials=256, ransac_tol=0.02,
                          refine_iterations=20, refine_starts=4,
                          refine_winnow_iters=8, refine_rel_tol=0.0,
                          depth_residual_px=2.0,
-                         refine_loss_delta_px=3.0)
+                         refine_loss_delta_px=3.0,
+                         feedback_passes=1, feedback_mode="refine")
 
 
 @pytest.fixture(scope="module")
@@ -82,9 +87,9 @@ def _gate(pair_data, i2, preset, *, epe_med_max, err_v_max,
     epe = np.linalg.norm(f - gt, axis=-1)
     epe_med = float(np.median(epe[moving]))
     assert epe_med <= epe_med_max, (preset, epe_med)
-    res = estimate_from_flow(fb.flow, intr, GAMMA, EST_CFG,
-                             jax.random.PRNGKey(0),
-                             pixel_mask=~fb.occlusion)
+    res = estimate_with_feedback(fb.flow, intr, GAMMA, EST_CFG,
+                                 jax.random.PRNGKey(0),
+                                 pixel_mask=~fb.occlusion)
     err_v = float(translation_error(res.v, jnp.asarray(V_TRUE, jnp.float32)))
     assert err_v <= err_v_max, (preset, err_v)
     if err3d_max is not None:
@@ -116,15 +121,15 @@ def test_fullhd_clean_plain(fullhd_pair):
 
 def test_fullhd_photometric_robust(fullhd_pair):
     """Exposure x1.35 + vignette 0.35 + noise: the robust (LCN) preset
-    must hold the 0.15 rad gate (r4 protocol: ~2.6 px median /
-    0.0948 rad), err3d ≤ 1.0 world units (protocol mean 0.450 — tighter
-    than the VERDICT bar of 1.5) and depth RMSE ≤ 2.2 (protocol 1.22)."""
+    with the r5 production config (coarse warps + model-feedback pass)
+    measured 1.76 px median / err_v 0.0771 — the err_v gate moves
+    0.15 -> 0.10 (VERDICT r4 item 2 bar)."""
     intr, i1, i2 = fullhd_pair[0], fullhd_pair[1], fullhd_pair[2]
     i2p = jnp.asarray(apply_photometric(
         i2, jax.random.PRNGKey(1), exposure=1.35, vignette=0.35,
         noise_sigma=0.005), jnp.float32)
     _gate(fullhd_pair, i2p, "robust",
-          epe_med_max=5.0, err_v_max=0.15,
+          epe_med_max=3.5, err_v_max=0.10,
           err3d_max=1.0, depth_rmse_max=2.2)
 
 
