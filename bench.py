@@ -184,7 +184,7 @@ def main():
                              refine_winnow_iters=8,
                              depth_residual_px=2.0,
                              refine_loss_delta_px=3.0,
-                             feedback_passes=1, feedback_mode="refine",
+                             feedback_passes=2, feedback_mode="refine",
                              refine_engine="pallas",
                              ransac_engine="pallas")
     # Image pair: textured frame 1; frame 2 = frame 1 resampled through a

@@ -82,8 +82,9 @@ def main():
         "r4prod": PipelineConfig(**base),
         "fb_refine": PipelineConfig(**base, feedback_passes=1,
                                     feedback_mode="refine"),
-        "fb_full": PipelineConfig(**base, feedback_passes=1,
-                                  feedback_mode="full"),
+        # THE r5 production config (tests/test_fullhd_flow.py EST_CFG).
+        "fb2_refine": PipelineConfig(**base, feedback_passes=2,
+                                     feedback_mode="refine"),
     }
 
     # Flow preset per scene: what `--flow-model auto` picks (gated in
