@@ -141,8 +141,14 @@ class DenseFlowConfig(NamedTuple):
     # in-view (TPU_VALIDATION §3), but boundary-clamp interactions next
     # to out-of-view regions can differ (up to ~0.5 intensity on a
     # handful of pixels; scripts/probe_warp.py) and are absorbed by the
-    # robust data term.
-    warp_radius: int = 16
+    # robust data term.  r5: default 16 -> 24 — the mover/occluder scene
+    # carries >16 px residual spreads at its discontinuity blocks, and
+    # the clamped samples CASCADE through the variational solve on the
+    # plain preset (TPU, stress scene: est err_v 0.6155 at radius 16 vs
+    # 0.0576 at 24; EPE med 6.7 -> 5.9 — /tmp probe transcribed in
+    # STRESS.md r5).  The LCN robust preset masked this by chance (its
+    # r4 protocol numbers were healthy); 24 covers both.
+    warp_radius: int = 24
     # Forward-backward occlusion test (flow_forward_backward): pixel x is
     # flagged when |w_f(x) + w_b(x+w_f)|² > occ_rel·(|w_f|²+|w_b|²) +
     # occ_abs (Sundaram-Brox thresholds).
