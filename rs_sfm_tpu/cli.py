@@ -175,7 +175,7 @@ def cmd_single_run(args):
         # photometric full-HD stress scene).
         import dataclasses
 
-        cfg = dataclasses.replace(cfg, feedback_passes=1)
+        cfg = dataclasses.replace(cfg, feedback_passes=2)
     res = estimate_with_feedback(flow_px, pair.intrinsics, gamma, cfg,
                                  jax.random.PRNGKey(args.seed),
                                  pixel_mask=pixel_mask)
@@ -432,9 +432,10 @@ def main(argv=None):
                        help="forward-backward occlusion check; occluded "
                             "pixels are excluded from RANSAC/refinement")
         p.add_argument("--model-feedback", action="store_true",
-                       help="second estimation pass on the model-feedback "
+                       help="model-feedback re-estimation passes on the "
                             "trusted mask (tight-consensus + "
-                            "depth-coherence outliers excluded; "
+                            "depth-coherence outliers excluded; 2 "
+                            "passes, the r5 production setting — "
                             "flow/feedback.py)")
         p.add_argument("--gamma", type=float, default=None)
         p.add_argument("--seed", type=int, default=0)
