@@ -36,7 +36,8 @@ W_TRUE = np.array([0.003, -0.002, 0.004])
 EST_CFG = PipelineConfig(ransac_trials=256, ransac_tol=0.02,
                          refine_iterations=20, refine_starts=4,
                          refine_winnow_iters=8, refine_rel_tol=0.0,
-                         depth_residual_px=2.0, refine_loss_delta_px=3.0)
+                         depth_residual_px=2.0, refine_loss_delta_px=3.0,
+                         feedback_passes=2, feedback_mode="refine")
 
 
 @pytest.fixture(scope="module")
