@@ -178,6 +178,10 @@ def main():
     # refine mode).  The quality these bought: photo err_v
     # 0.0948 -> 0.0771, mover-scene median 0.166 -> 0.097, photo EPE
     # 2.61 -> 1.76 px (STRESS.md r5).
+    # r5 wrap-up lever (TPU_VALIDATION §9): 8-iteration warm-start
+    # feedback refines — the re-estimations only absorb the trusted-mask
+    # delta, measured −18.7 ms of the 145.8 ms 2-pass estimation with
+    # 50-eval protocol rows identical on every scene.
     est_cfg = PipelineConfig(ransac_trials=256, ransac_chunk=32,
                              ransac_tol=0.02, refine_iterations=20,
                              refine_rel_tol=0.0, refine_starts=4,
@@ -185,6 +189,7 @@ def main():
                              depth_residual_px=2.0,
                              refine_loss_delta_px=3.0,
                              feedback_passes=2, feedback_mode="refine",
+                             feedback_refine_iterations=8,
                              refine_engine="pallas",
                              ransac_engine="pallas")
     # Image pair: textured frame 1; frame 2 = frame 1 resampled through a

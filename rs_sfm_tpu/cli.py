@@ -175,7 +175,8 @@ def cmd_single_run(args):
         # photometric full-HD stress scene).
         import dataclasses
 
-        cfg = dataclasses.replace(cfg, feedback_passes=2)
+        cfg = dataclasses.replace(cfg, feedback_passes=2,
+                                  feedback_refine_iterations=8)
     res = estimate_with_feedback(flow_px, pair.intrinsics, gamma, cfg,
                                  jax.random.PRNGKey(args.seed),
                                  pixel_mask=pixel_mask)

@@ -169,6 +169,36 @@ class PipelineConfig:
     #   "full" — complete re-estimation (RANSAC + multi-start) on the
     #     trusted mask with a fresh key (the r4 CLI behavior).
     feedback_mode: str = "refine"
+    # Basin re-vote before each "refine"-mode feedback pass (r5, ROADMAP
+    # 1b attempt): re-score ALL refined diversity-start candidates
+    # (EstimationResult.top_*) on the feedback-trusted mask (exact
+    # two-stage lexicographic vote, current model wins ties) and
+    # warm-start from the winner.  MEASURED NEGATIVE for its purpose and
+    # default off: on the 50-eval stress protocol it changed NO
+    # evaluation (mean 0.2990 / med 0.0601 bit-for-bit the no-revote
+    # rows) at +4.6 ms — the trusted mask is curated BY the selected
+    # model, so when pass 1 picks a wrong basin the mask excludes
+    # exactly the dissenting pixels and the vote is circular
+    # (TPU_VALIDATION §9, STRESS.md r5 final).  A real fix needs
+    # model-independent evidence (e.g. per-candidate depth-coherence
+    # scoring) — ROADMAP.
+    feedback_revote: bool = False
+    # LM iteration count for the "refine"-mode feedback re-estimation
+    # (0 = refine_iterations).  The re-estimation warm-starts from an
+    # ALREADY-CONVERGED model and only has to absorb the trusted-mask
+    # delta — it needs far fewer than the cold-start budget (VarPro
+    # settles in ~10 from RANSAC inits; from a converged warm start it
+    # measures protocol-identical at 8, TPU_VALIDATION §9).
+    feedback_refine_iterations: int = 0
+    # Decimated feedback inpainting (flow/feedback.py): run the
+    # depth-coherence peeling and push-pull fill from stride-2-decimated
+    # anchor planes (anchors keep exact values at the finest level; the
+    # coarse ~50 px-aperture semantics are unchanged).  MEASURED NEGATIVE
+    # on hardware and kept as a documented option (TPU_VALIDATION §9:
+    # 147.7 vs 145.8 ms for the 2-pass production estimation — in-graph
+    # the stride-2 lane relayouts cost what the full-res blurs saved,
+    # the same lesson as the r5 conv-resampling probe).  Default off.
+    feedback_fast_inpaint: bool = False
     # Fix of the reference's f_x-for-y projection bug (src/rsframe.cc:639).
     # True  -> use f_y for the y coordinate (correct pinhole model).
     # False -> replicate reference behavior bit-for-bit.

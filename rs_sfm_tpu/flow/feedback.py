@@ -64,15 +64,28 @@ def _up2_to(x, shape):
     return jax.image.resize(x, shape, method="bilinear")
 
 
-def _coarse_smooth(values, weights, down: int = 3, blurs: int = 3):
+def _coarse_smooth(values, weights, down: int = 3, blurs: int = 3,
+                   decimate: bool = False):
     """Normalized convolution at a coarse scale (aperture ~ 2^down * 2 *
     blurs px): the reference neighborhood for the depth-coherence test —
     it must be WIDER than a smear band so the band cannot dominate its
     own comparison value (the finest-scale push-pull fill does exactly
-    that and is blind to coherent bands — measured)."""
+    that and is blind to coherent bands — measured).
+
+    decimate: replace the first (full-resolution) blur+downsample level
+    with a plain stride-2 decimation of the anchor planes.  A normalized-
+    conv AVERAGE tolerates the aliasing (half the anchors simply drop out
+    of a ~50 px-aperture mean), and it removes every full-resolution blur
+    from the chain — the feedback pass's cost driver
+    (cfg.feedback_fast_inpaint)."""
     num = values * weights
     den = weights
     shapes = []
+    if decimate and down > 0:
+        shapes.append(num.shape)
+        num = num[::2, ::2]
+        den = den[::2, ::2]
+        down -= 1
     for _ in range(down):
         shapes.append(num.shape)
         num = _downsample(_gauss_blur(num))
@@ -86,17 +99,29 @@ def _coarse_smooth(values, weights, down: int = 3, blurs: int = 3):
     return sm
 
 
-def _push_pull_fill(values, weights, levels: int = 6):
+def _push_pull_fill(values, weights, levels: int = 6,
+                    decimate: bool = False):
     """Normalized-convolution push-pull inpainting.
 
     Fills weight-0 pixels with the nearest-scale weighted average of the
     anchored values: downsample (value*w, w) `levels` times, then walk
     back up replacing empty pixels by the coarser fill — every pixel ends
     at the finest scale that had support.  O(N) total work.
+
+    decimate: skip the finest level's blur — the level-0 pull step
+    becomes `where(anchored, exact value, half-res fill)` (anchors keep
+    their EXACT values instead of a 3x3 blur average; everything else
+    comes from the stride-2-decimated chain).  Removes the two
+    full-resolution blurs (cfg.feedback_fast_inpaint).
     """
     num = values * weights
     den = weights
     stack = []
+    if decimate and levels > 0:
+        stack.append((num, den))
+        num = num[::2, ::2]
+        den = den[::2, ::2]
+        levels -= 1
     for _ in range(levels):
         num = _gauss_blur(num)
         den = _gauss_blur(den)
@@ -165,17 +190,19 @@ def model_feedback(flow_px, occlusion, res: EstimationResult,
     # relative to the coarse neighborhood — a thin "nearer" band not
     # attached to a larger near structure is physically implausible,
     # while the far side of genuine depth edges never triggers.
+    fast = bool(cfg.feedback_fast_inpaint)
     trust = inl
     depth_out = jnp.zeros_like(inl)
     for _ in range(depth_rounds):
-        rho_sm = _coarse_smooth(rho_pix, trust.astype(dtype))
+        rho_sm = _coarse_smooth(rho_pix, trust.astype(dtype),
+                                decimate=fast)
         bad = trust & (rho_pix > rho_sm * (1.0 + depth_tau))
         depth_out = depth_out | bad
         trust = trust & ~bad
 
     # Inpainted inverse depth from the SURVIVING anchors.
     rho_fill = _push_pull_fill(rho_pix, trust.astype(dtype),
-                               levels=fill_levels)
+                               levels=fill_levels, decimate=fast)
 
     # Rigid-model flow at every pixel.  α/α̃ depend on the pixel flow's y
     # component, which for the smear pixels is exactly what is wrong — so

@@ -122,7 +122,7 @@ def estimate_sharded(mesh: Mesh, intr: Intrinsics, gamma,
                 v=P(), w=P(), k=P(), depth_map=P(axis, None),
                 inlier_mask=P(axis, None), valid_mask=P(axis, None),
                 num_inliers=P(), ransac_v=P(), ransac_w=P(), ransac_k=P(),
-                refine_cost=P()),
+                refine_cost=P(), top_v=P(), top_w=P(), top_k=P()),
             # The varying-mesh-axes checker cannot type pallas_call
             # outputs (the r5 sharded Pallas engines); replication is
             # managed explicitly — every scalar output follows a psum.

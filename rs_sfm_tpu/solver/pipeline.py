@@ -35,6 +35,16 @@ class EstimationResult(NamedTuple):
     ransac_w: jax.Array
     ransac_k: jax.Array
     refine_cost: jax.Array  # () final refinement SSE (0 if refinement off)
+    # Refined candidate models for downstream re-votes (the model-feedback
+    # basin re-vote, estimate_with_feedback): row 0 is the exported model;
+    # rows 1.. are the winnow-stage refined diversity starts when
+    # refine_starts > 1 (each sits at the bottom of its own basin after
+    # the shared winnow iterations).  (J+1, 3)/(J+1, 3)/(J+1,); J = 0
+    # outside the multi-start path.  Scoring is (v, rho)-sign-symmetric,
+    # so these rows are NOT sign-flipped.
+    top_v: jax.Array
+    top_w: jax.Array
+    top_k: jax.Array
 
 
 def prepare_flow_inputs(flow_px, intr: Intrinsics, gamma, cfg: PipelineConfig,
@@ -279,6 +289,10 @@ def estimate_from_flow(
             return jnp.argmin(err_masked), num_g, err_g, rho_r, inl_r
 
         best_j, num_g, err_g, rho_r, inl_r = rescore(ref.v, ref.w, ref.k)
+        # Snapshot the J winnow-stage refined models: each diversity start
+        # has descended into its own basin by now, which is exactly the
+        # candidate set a later re-vote (on a cleaner trusted mask) wants.
+        cand_v, cand_w, cand_k = ref.v, ref.w, ref.k
         winnow2 = (cfg.refine_winnow2_iters
                    if (winnow and cfg.refine_starts > 2
                        and 0 < cfg.refine_winnow2_iters
@@ -330,6 +344,9 @@ def estimate_from_flow(
         ref = run_refine(rr.inlier_mask, rr.v, rr.w, rr.k, rr.inv_depth)
         v, w, k = ref.v, ref.w, ref.k
         refine_cost = ref.cost
+        cand_v = jnp.zeros((0, 3), coords.dtype)
+        cand_w = jnp.zeros((0, 3), coords.dtype)
+        cand_k = jnp.zeros((0,), coords.dtype)
         # Export the closed-form ρ at the refined motion with a RE-SCORED
         # inlier set — the same export semantics as the multi-start winner
         # above (LM's per-pixel depths pass rho0 through at out-of-mask
@@ -346,6 +363,9 @@ def estimate_from_flow(
     else:
         v, w, k, rho = rr.v, rr.w, rr.k, rr.inv_depth
         refine_cost = jnp.zeros((), coords.dtype)
+        cand_v = jnp.zeros((0, 3), coords.dtype)
+        cand_w = jnp.zeros((0, 3), coords.dtype)
+        cand_k = jnp.zeros((0,), coords.dtype)
 
     # Sign disambiguation: flip v and depths if the mean inlier depth is
     # negative (src/main.cc:466-478).  Depth is Z = 1/ρ on the inlier set.
@@ -380,7 +400,10 @@ def estimate_from_flow(
         valid_mask=valid.reshape(h, w_cols),
         num_inliers=rr.num_inliers,
         ransac_v=rr.v * sign, ransac_w=rr.w, ransac_k=rr.k,
-        refine_cost=refine_cost)
+        refine_cost=refine_cost,
+        top_v=jnp.concatenate([v[None], cand_v]),
+        top_w=jnp.concatenate([w[None], cand_w]),
+        top_k=jnp.concatenate([k[None], cand_k]))
 
 
 def estimate_with_feedback(
@@ -421,6 +444,11 @@ def estimate_with_feedback(
     from rs_sfm_tpu.flow.feedback import model_feedback
 
     h, w_cols = flow_px.shape[:2]
+    # Diversity-start candidates of the FIRST estimation, kept across all
+    # passes: later passes run warm-start refinement only, so without this
+    # set a pass-1 wrong-basin selection could never be revisited (the
+    # mover-scene protocol tail, STRESS.md r5 / cfg.feedback_revote).
+    cands0 = (res.top_v, res.top_w, res.top_k)
     for p in range(cfg.feedback_passes):
         occ0 = (~pixel_mask if pixel_mask is not None
                 else jnp.zeros((h, w_cols), bool))
@@ -428,9 +456,35 @@ def estimate_with_feedback(
             flow_px, occ0, res, intr, gamma, cfg,
             residual_tol_px=cfg.feedback_residual_tol_px)
         pixel_mask = ~fbk.occlusion
-        warm = ((res.v, res.w, res.k) if cfg.feedback_mode == "refine"
-                else None)
-        res = estimate_from_flow(flow_px, intr, gamma, cfg,
+        if cfg.feedback_mode != "refine":
+            warm = None
+        elif cfg.feedback_revote and cands0[0].shape[0] > 1:
+            # Re-vote {current model} ∪ {first-pass refined starts} on the
+            # feedback-trusted mask.  The current model is row 0, so the
+            # earliest-index tie-break keeps it unless a dethroned basin
+            # strictly wins on the cleaned evidence.
+            cv = jnp.concatenate([res.v[None], cands0[0]])
+            cw = jnp.concatenate([res.w[None], cands0[1]])
+            ck = jnp.concatenate([res.k[None], cands0[2]])
+            coords_r, flow_r, al_r, alk_r, val_r = prepare_flow_inputs(
+                flow_px, intr, gamma, cfg)
+            val_r = val_r & pixel_mask.reshape(-1)
+            num_c, err_c, _, _ = _score_hypotheses(
+                coords_r, flow_r, al_r, alk_r, val_r, cv, cw, ck,
+                cfg.ransac_tol)
+            err_c = jnp.where(jnp.isfinite(err_c), err_c, jnp.inf)
+            err_m = jnp.where(num_c == jnp.max(num_c), err_c, jnp.inf)
+            best_c = jnp.argmin(err_m)
+            warm = (cv[best_c], cw[best_c], ck[best_c])
+        else:
+            warm = (res.v, res.w, res.k)
+        cfg_p = cfg
+        if warm is not None and cfg.feedback_refine_iterations > 0:
+            import dataclasses
+
+            cfg_p = dataclasses.replace(
+                cfg, refine_iterations=cfg.feedback_refine_iterations)
+        res = estimate_from_flow(flow_px, intr, gamma, cfg_p,
                                  jax.random.fold_in(key, 101 + p),
                                  pixel_mask=pixel_mask, warm_start=warm)
     return res

@@ -39,7 +39,7 @@ def main():
     from rs_sfm_tpu.geom.rspose import scanline_poses
     from rs_sfm_tpu.models import get_flow_preset
     from rs_sfm_tpu.rectify.backproject import backproject
-    from rs_sfm_tpu.solver.pipeline import estimate_from_flow
+    from rs_sfm_tpu.solver.pipeline import estimate_with_feedback
 
     h, w = 1080, 1920
     intr = Intrinsics(fx=1803.3, fy=1799.4, cx=945.3, cy=544.7)
@@ -59,19 +59,24 @@ def main():
         jobs.append((name, jax.jit(
             lambda a, b, c=fc: flow_forward_backward(a, b, c).flow.sum()),
             (img, img)))
-    # Solver configurations (bench + production estimated-flow).
+    # Solver configurations (bench GT-flow path + the gated production
+    # estimated-flow config incl. the model-feedback passes — keep these
+    # in lockstep with bench.py / tests/test_fullhd_flow.py EST_CFG).
     for name, cfg in [
         ("solver bench", PipelineConfig(
-            ransac_trials=256, ransac_chunk=32, refine_iterations=30,
+            ransac_trials=256, ransac_chunk=32, refine_iterations=20,
             refine_rel_tol=0.0, refine_engine="pallas",
             ransac_engine="pallas")),
         ("solver production", PipelineConfig(
             ransac_trials=256, ransac_chunk=32, ransac_tol=0.02,
-            refine_iterations=30, refine_rel_tol=0.0, refine_starts=2,
+            refine_iterations=20, refine_rel_tol=0.0, refine_starts=4,
+            refine_winnow_iters=8, depth_residual_px=2.0,
+            refine_loss_delta_px=3.0, feedback_passes=2,
+            feedback_mode="refine", feedback_refine_iterations=8,
             refine_engine="pallas", ransac_engine="pallas")),
     ]:
         def run(f, k, c=cfg):
-            res = estimate_from_flow(f, intr, 0.9, c, k)
+            res = estimate_with_feedback(f, intr, 0.9, c, k)
             r, t = scanline_poses(res.v, res.w, res.k, h, 0.9,
                                   dtype=jnp.float32)
             rect = backproject(img, res.depth_map, r, t, intr)

@@ -44,6 +44,8 @@ def main():
                                                     "stress_cache"))
     ap.add_argument("--out", default=os.path.join(REPO, "results",
                                                   "stress_r5.json"))
+    ap.add_argument("--configs", default="",
+                    help="comma-separated config subset (default: all)")
     args = ap.parse_args()
 
     import jax
@@ -81,11 +83,27 @@ def main():
     configs = {
         "r4prod": PipelineConfig(**base),
         "fb_refine": PipelineConfig(**base, feedback_passes=1,
-                                    feedback_mode="refine"),
-        # THE r5 production config (tests/test_fullhd_flow.py EST_CFG).
+                                    feedback_mode="refine",
+                                    feedback_revote=False,
+                                    feedback_fast_inpaint=False),
+        # The mid-r5 production config (before the wrap-up levers).
         "fb2_refine": PipelineConfig(**base, feedback_passes=2,
-                                     feedback_mode="refine"),
+                                     feedback_mode="refine",
+                                     feedback_revote=False,
+                                     feedback_fast_inpaint=False),
+        # THE r5 FINAL production config (tests/test_fullhd_flow.py
+        # EST_CFG): + 8-iteration warm-start feedback refines
+        # (TPU_VALIDATION §9).  The recorded rows were measured with
+        # feedback_revote=True, which changed NO evaluation (the vote is
+        # circular — config.py note) and now defaults off; the rows
+        # stand for the shipped config.
+        "fb2_final": PipelineConfig(**base, feedback_passes=2,
+                                    feedback_mode="refine",
+                                    feedback_refine_iterations=8),
     }
+    if args.configs:
+        keep = set(args.configs.split(","))
+        configs = {k: v for k, v in configs.items() if k in keep}
 
     # Flow preset per scene: what `--flow-model auto` picks (gated in
     # CI).  r5: the probe's occlusion trigger is off, so the

@@ -128,3 +128,62 @@ def test_estimate_with_feedback_config_pass():
         # when the first-pass error is non-trivial).
         assert err1 <= err0 + 1e-4, (mode, err0, err1)
         assert err1 < 0.02, (mode, err1)
+
+
+def test_feedback_revote_and_cost_levers():
+    """Round-5 wrap-up levers (ROADMAP 1b / item 4):
+
+      * top_v/top_w/top_k export: row 0 is the final model; multi-start
+        estimation exposes the J winnow-stage refined candidates;
+      * the basin re-vote + decimated inpainting + reduced warm-refine
+        iterations must hold the corrupted-band accuracy of the full-cost
+        configuration (they exist to cut cost / revisit selection, not to
+        change converged results);
+      * all three are jit-safe together (the production graph).
+    """
+    from rs_sfm_tpu.eval.metrics import translation_error
+    from rs_sfm_tpu.solver.pipeline import estimate_with_feedback
+
+    rng = np.random.default_rng(7)
+    v = jnp.asarray([0.03, -0.01, 0.02], jnp.float32)
+    w = jnp.asarray([0.002, -0.001, 0.003], jnp.float32)
+    base = rng.uniform(4.0, 8.0, (H // 8 + 1, W // 8 + 1))
+    depth = jnp.asarray(
+        np.kron(base, np.ones((8, 8)))[:H, :W], jnp.float32)
+    intr, gt = _gt_flow(v, w, depth)
+    band = np.zeros((H, W), bool)
+    band[:, 40:56] = True
+    corrupted = np.asarray(gt).copy()
+    corrupted[band] += np.asarray([6.0, -3.0], np.float32)
+    corrupted = jnp.asarray(corrupted)
+
+    base_cfg = dict(ransac_trials=64, ransac_tol=0.01,
+                    refine_iterations=20, refine_starts=3,
+                    refine_winnow_iters=8, refine_loss_delta_px=3.0)
+    key = jax.random.PRNGKey(0)
+
+    # Candidate export contract (single estimation, multi-start).
+    res_ms = estimate_from_flow(corrupted, intr, GAMMA,
+                                PipelineConfig(**base_cfg), key)
+    assert res_ms.top_v.shape == (4, 3)   # final + J winnow-stage models
+    assert res_ms.top_k.shape == (4,)
+    np.testing.assert_array_equal(np.asarray(res_ms.top_v[0]),
+                                  np.asarray(res_ms.v))
+
+    slow = PipelineConfig(**base_cfg, feedback_passes=2,
+                          feedback_mode="refine", feedback_revote=False,
+                          feedback_fast_inpaint=False)
+    fast = PipelineConfig(**base_cfg, feedback_passes=2,
+                          feedback_mode="refine", feedback_revote=True,
+                          feedback_fast_inpaint=True,
+                          feedback_refine_iterations=8)
+    res_slow = estimate_with_feedback(corrupted, intr, GAMMA, slow, key)
+    res_fast = jax.jit(
+        lambda f, k: estimate_with_feedback(f, intr, GAMMA, fast, k))(
+            corrupted, key)
+    err_slow = float(translation_error(res_slow.v, v))
+    err_fast = float(translation_error(res_fast.v, v))
+    assert err_fast < 0.02, err_fast
+    assert err_fast <= err_slow + 5e-3, (err_slow, err_fast)
+    # Warm path result exposes the single exported model.
+    assert res_fast.top_v.shape[0] == 1
